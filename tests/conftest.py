@@ -1,0 +1,14 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax import.
+
+Mirrors the reference's determinism-first test posture (SURVEY.md §4): the
+multi-chip sharding code paths (tpu_ray.parallel) are exercised on a virtual
+8-device CPU mesh, exactly as they would run on an 8-chip TPU slice.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

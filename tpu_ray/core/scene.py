@@ -1,0 +1,288 @@
+"""Scene system: SoA sphere-scene pytree + the three procedural builders.
+
+Reproduces the reference's scene construction (reference main.cpp:11-268)
+bit-faithfully on the host with the same fixed PCG seeds
+(0x29D7A0A514F22432, main.cpp:107; 0xCD46749A57ACB371, main.cpp:219), then
+exposes the scene as a padded SoA pytree — the natural TPU layout (the
+reference itself converts AoS->SoA for its SIMD path, main.cpp:73-91).
+
+Padding trick (reference main.cpp:76-77): tail spheres keep radius 0, which
+can never be hit (distance-from-center test `dsq < r*r` is false for r=0),
+so kernels run on lane-aligned arrays with no edge cases.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+from tpu_ray.core.refpcg import RefPcg32
+
+WORLD_SCALE = np.float32(1.0 / 16.0)  # reference main.cpp:56
+F32_EPS = np.float32(1e-4)            # reference base.h:889
+F32_MAX = np.float32(1e30)            # reference base.h:891
+PI32 = np.float32(3.14159265358979323846)
+
+# Scene arrays are padded to a multiple of this so every kernel sees
+# lane-aligned sphere blocks (TPU lane width = 128).
+SPHERE_PAD = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Padded SoA sphere scene. All arrays have leading dim n_pad.
+
+    Fields mirror reference `material` + `scalar_sphere` (main.cpp:11-21):
+    center[N,3], radius[N], albedo[N,3], emissive[N,3], specular[N], ior[N].
+    """
+
+    center: jax.Array     # [N,3] f32
+    radius: jax.Array     # [N]   f32 (0 for padding => never hit)
+    albedo: jax.Array     # [N,3] f32
+    emissive: jax.Array   # [N,3] f32
+    specular: jax.Array   # [N]   f32
+    ior: jax.Array        # [N]   f32 (0 => diffuse/specular, else dielectric)
+    look_at: jax.Array    # [3]   f32 default camera target
+    # static metadata (not traced)
+    use_sky: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    n_real: int = dataclasses.field(metadata=dict(static=True), default=0)
+    default_distance: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    default_x_angle: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    default_y_height: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+
+    @property
+    def n_pad(self) -> int:
+        return self.center.shape[0]
+
+
+class _SceneBuilder:
+    """Accumulates spheres host-side, then pads + packs into a Scene."""
+
+    def __init__(self):
+        self.centers, self.radii = [], []
+        self.albedos, self.emissives, self.speculars, self.iors = [], [], [], []
+
+    def add(self, center, radius, albedo, specular=0.0, ior=0.0, emissive=(0, 0, 0),
+            world_scale: bool = True):
+        # reference CreateScalarSphere (main.cpp:57-71)
+        c = np.asarray(center, np.float32)
+        r = np.float32(radius)
+        if world_scale:
+            c = c * WORLD_SCALE
+            r = r * WORLD_SCALE
+        self.centers.append(c)
+        self.radii.append(r)
+        self.albedos.append(np.asarray(albedo, np.float32))
+        em = np.asarray(emissive, np.float32)
+        if em.ndim == 0:
+            em = np.full(3, em, np.float32)
+        self.emissives.append(em)
+        self.speculars.append(np.float32(specular))
+        self.iors.append(np.float32(ior))
+
+    def build(self, look_at, use_sky: bool, default_distance: float,
+              default_x_angle: float, default_y_height: float,
+              pad_to: int = SPHERE_PAD, truncate: int | None = None) -> Scene:
+        if truncate is not None:
+            for rows in (self.centers, self.radii, self.albedos,
+                         self.emissives, self.speculars, self.iors):
+                del rows[truncate:]
+        n = len(self.centers)
+        n_pad = max(pad_to, ((n + pad_to - 1) // pad_to) * pad_to)
+
+        def pack(rows, shape):
+            out = np.zeros((n_pad,) + shape, np.float32)
+            out[:n] = np.stack(rows) if shape else np.asarray(rows, np.float32)
+            return out
+
+        return Scene(
+            center=pack(self.centers, (3,)),
+            radius=pack(self.radii, ()),
+            albedo=pack(self.albedos, (3,)),
+            emissive=pack(self.emissives, (3,)),
+            specular=pack(self.speculars, ()),
+            ior=pack(self.iors, ()),
+            look_at=np.asarray(look_at, np.float32),
+            use_sky=use_sky,
+            n_real=n,
+            default_distance=float(default_distance),
+            default_x_angle=float(default_x_angle),
+            default_y_height=float(default_y_height),
+        )
+
+
+def make_rgb_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """RGB-glass scene: ground + glass sphere + 3 emissive RGB spheres.
+
+    Reference InitRGBSphereScene (main.cpp:171-191).
+    """
+    b = _SceneBuilder()
+    b.add((0.0, -256.0 - 2.0, -15.0), 256.0, (0.2, 0.2, 0.2))
+    b.add((0.0, 0.0, -10.0), 2.0, (1.0, 1.0, 1.0), ior=1.5)
+    b.add((-4.0, 1.0, -15.0), 1.5, (1.0, 0.0, 0.0), emissive=(8.0, 0.0, 0.0))
+    b.add((0.0, 1.0, -15.0), 1.5, (1.0, 0.0, 0.0), emissive=(0.0, 8.0, 0.0))
+    b.add((4.0, 1.0, -15.0), 1.5, (1.0, 0.0, 0.0), emissive=(0.0, 0.0, 8.0))
+    return b.build(
+        look_at=b.centers[1],
+        use_sky=False,
+        default_distance=16.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(3.0),
+        default_y_height=4.0 * WORLD_SCALE,
+        pad_to=pad_to,
+    )
+
+
+def _normalize_f32(v: np.ndarray) -> np.ndarray:
+    # reference v3::Normalize (x64_math.h:234-245): exact sqrt + divide,
+    # zeroed when length^2 <= 1e-4.
+    lsq = np.float32(np.dot(v.astype(np.float32), v.astype(np.float32)))
+    if not lsq > F32_EPS:
+        return np.zeros(3, np.float32)
+    return (v / np.float32(np.sqrt(lsq))).astype(np.float32)
+
+
+def make_randomized_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """256 randomized spheres grown outward from 3 anchors.
+
+    Reference InitRandomizedSphereScene (main.cpp:96-167), seed main.cpp:107.
+    """
+    rng = RefPcg32(0x29D7A0A514F22432)
+    n_spheres = 256
+
+    # 28 random materials (main.cpp:110-131)
+    materials = []
+    for _ in range(28):
+        color = np.array([
+            rng.random_float(0.15, 1.0),
+            rng.random_float(0.1, 0.75),
+            rng.random_float(0.15, 1.0),
+        ], np.float32)
+        emissive = np.zeros(3, np.float32)
+        specular = np.float32(0.0)
+        if rng.random_float(0.0, 1.0) < 0.125:
+            emissive = rng.random_float(2.0, 5.0) * color
+        else:
+            if rng.random_float(0.0, 1.0) < 0.65:
+                specular = np.float32(1.0)
+        materials.append((color, emissive, specular))
+
+    centers = np.zeros((n_spheres, 3), np.float32)
+    radii = np.zeros(n_spheres, np.float32)
+    mat_of = np.zeros(n_spheres, np.int32)
+
+    # 3 fixed anchor spheres share one radius draw (main.cpp:133-137)
+    radius0 = rng.random_float(2.0, 8.0)
+    for i, pos in enumerate([(1.0, 0.0, 0.0), (8.0, -1.0, 8.0), (-20.0, -4.0, -20.0)]):
+        centers[i] = pos
+        radii[i] = radius0
+        mat_of[i] = 0
+
+    # growth loop (main.cpp:139-155)
+    for i in range(3, n_spheres):
+        vec = np.array([rng.random_float(), rng.random_float(), rng.random_float()],
+                       np.float32)
+        nvec = _normalize_f32(vec)
+        prev_r = radii[i - 3]
+        prev_p = centers[i - 3]
+        radius = rng.random_float(1.0, 4.0)
+        dist = np.float32(rng.random_float(1.0, 8.0) + radius + prev_r)
+        centers[i] = (prev_p + nvec * dist).astype(np.float32)
+        radii[i] = radius
+        mat_of[i] = i % 28
+
+    # world-scale applied after generation (main.cpp:156-162)
+    centers *= WORLD_SCALE
+    radii *= WORLD_SCALE
+
+    b = _SceneBuilder()
+    for i in range(n_spheres):
+        color, emissive, specular = materials[mat_of[i]]
+        b.add(centers[i], radii[i], color, specular=specular, ior=0.0,
+              emissive=emissive, world_scale=False)
+    return b.build(
+        look_at=np.array([2.0, 0.0, 2.0], np.float32) * WORLD_SCALE,
+        use_sky=False,
+        default_distance=48.0 * WORLD_SCALE,
+        default_x_angle=(PI32 * np.float32(2.65)) / np.float64(2.0),
+        default_y_height=0.0,
+        pad_to=pad_to,
+    )
+
+
+def make_rtweekend_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """'Ray Tracing in One Weekend' scene: 4 fixed + 22x22 grid = 482 spheres.
+
+    Reference InitRTWeekendSphereScene (main.cpp:196-268), seed main.cpp:219.
+    """
+    rng = RefPcg32(0xCD46749A57ACB371)
+    b = _SceneBuilder()
+    b.add((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    b.add((0.0, 1.0, 0.0), 1.0, (1.0, 1.0, 1.0), ior=1.5)
+    b.add((-4.0, 1.0, 0.0), 1.0, (0.4, 0.2, 0.1))
+    b.add((4.0, 1.0, 0.0), 1.0, (0.7, 0.6, 0.5), specular=1.0)
+
+    anchors = [np.array(a, np.float32) for a in
+               [(4.0, 0.2, 0.0), (0.0, 0.2, 0.0), (-4.0, 0.2, 0.0)]]
+
+    for i in range(-11, 11):
+        for j in range(-11, 11):
+            m = rng.random_float(0.0, 1.0)
+            # rejection-sampled placement (main.cpp:229-236); note the
+            # reference jitters with the *default* [-1,1] RandomFloat
+            while True:
+                center = np.array([
+                    np.float32(i) + rng.random_float(),
+                    0.2,
+                    np.float32(j) + rng.random_float(),
+                ], np.float32)
+                ok = all(
+                    np.float32(np.sqrt(np.float32(np.dot(center - a, center - a)))) > 0.9
+                    for a in anchors
+                )
+                if ok:
+                    break
+            specular, ior = 0.0, 0.0
+            if m < 0.8:
+                color = (rng.random_float(0.0, 1.0), rng.random_float(0.0, 1.0),
+                         rng.random_float(0.0, 1.0))
+            elif m < 0.95:
+                color = (rng.random_float(0.0, 1.0), rng.random_float(0.0, 1.0),
+                         rng.random_float(0.0, 1.0))
+                specular = rng.random_float(0.5, 1.0)
+            else:
+                color = (1.0, 1.0, 1.0)
+                ior = 1.5
+            b.add(center, 0.2, color, specular=specular, ior=ior)
+
+    return b.build(
+        look_at=b.centers[1],  # assigned pre-pack in reference (main.cpp:266)
+        use_sky=True,
+        default_distance=12.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(8.0),
+        default_y_height=2.0 * WORLD_SCALE,
+        pad_to=pad_to,
+        # The reference declares RTWeekendSpheres[482] (main.cpp:193) but its
+        # generator emits 4 + 22*22 = 488 spheres; the last 6 are written out
+        # of bounds and never rendered (ScalarSpheres.Count stays 482). Only
+        # the first 482 are part of the rendered scene — match that.
+        truncate=482,
+    )
+
+
+SCENE_BUILDERS: Dict[str, Callable[..., Scene]] = {
+    "rgb": make_rgb_scene,            # reference scene 0
+    "randomized": make_randomized_scene,  # reference scene 1
+    "rtweekend": make_rtweekend_scene,    # reference scene 2
+}
+
+_SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend"]
+
+
+def make_scene(name_or_index, pad_to: int = SPHERE_PAD) -> Scene:
+    if isinstance(name_or_index, int):
+        name_or_index = _SCENE_BY_INDEX[name_or_index]
+    return SCENE_BUILDERS[name_or_index](pad_to=pad_to)

@@ -1,0 +1,182 @@
+"""Flagship model: the progressive Monte-Carlo wavefront path tracer.
+
+The reference's per-pixel recursive loop (RenderTile, main.cpp:348-495)
+becomes a batched wavefront: all H*W*spp rays advance together through a
+`lax.fori_loop` over bounces with an alive mask instead of `break`
+(divergence -> masking, SURVEY.md §7). The 32x32 tile/thread decomposition
+(main.cpp:824-827, wasm/wasm.cpp:604-694) has no analogue within a chip —
+XLA owns that — and across chips becomes ray sharding (tpu_ray.parallel).
+
+rays_cast matches the reference metric exactly: +1 per bounce-loop iteration
+entered per pixel sample (main.cpp:390), i.e. the sum of the alive mask at
+the top of each bounce.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ray.config import RenderConfig
+from tpu_ray.core import rng
+from tpu_ray.core.camera import Camera, default_camera
+from tpu_ray.core.scene import Scene, make_scene
+from tpu_ray.ops.accumulate import AccumState, accumulate
+from tpu_ray.ops.intersect import Hit, hit_payload, nearest_hit_jnp
+from tpu_ray.ops.raygen import camera_rays
+from tpu_ray.ops.shade import scatter_direction, sky_color
+from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
+
+NearestFn = Callable[[Scene, jax.Array, jax.Array], Hit]
+
+
+def _nearest_fn(backend: str) -> NearestFn:
+    if backend == "jnp":
+        return lambda scene, o, d: nearest_hit_jnp(scene.center, scene.radius, o, d)
+    if backend == "pallas":
+        from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
+        return lambda scene, o, d: nearest_hit_pallas(scene.center, scene.radius, o, d)
+    raise ValueError(backend)
+
+
+def trace_rays(scene: Scene, origins, directions, stream_base,
+               max_bounces: int, nearest_fn: NearestFn):
+    """Trace a flat ray wavefront to completion.
+
+    -> (color [R,3] linear radiance, rays_cast [R] u32).
+    Bounce loop = reference main.cpp:388-482 with alive-masking.
+    """
+
+    def bounce(b, carry):
+        origin, direction, atten, color, alive, rays_cast = carry
+        rays_cast = rays_cast + alive.astype(jnp.uint32)
+
+        hit = nearest_fn(scene, origin, direction)
+        p = hit_payload(scene, origin, direction, hit)
+
+        # miss: optional sky emission, then the ray dies (main.cpp:433-440)
+        if scene.use_sky:
+            sky_mask = (alive & ~p.hit)[..., None]
+            color = color + jnp.where(sky_mask, sky_color(direction) * atten, 0.0)
+
+        live_hit = alive & p.hit
+        lh = live_hit[..., None]
+        color = color + jnp.where(lh, p.emissive * atten, 0.0)
+        atten = jnp.where(lh, atten * p.albedo, atten)
+
+        rand3 = jnp.stack(
+            [rng.draw_uniform(stream_base, b, s, -1.0, 1.0, jnp) for s in range(3)],
+            axis=-1,
+        )
+        rand_reflect = rng.draw_uniform(stream_base, b, 3, 0.0, 1.0, jnp)
+        new_dir = scatter_direction(
+            direction, p.normal_raw, p.inside, p.specular, p.ior,
+            rand3, rand_reflect,
+        )
+        direction = jnp.where(lh, new_dir, direction)
+        origin = jnp.where(lh, p.next_origin, origin)
+        return origin, direction, atten, color, live_hit, rays_cast
+
+    n = origins.shape[0]
+    init = (
+        origins,
+        directions,
+        jnp.ones((n, 3), jnp.float32),    # attenuation (main.cpp:375)
+        jnp.zeros((n, 3), jnp.float32),   # output color
+        jnp.ones((n,), bool),             # alive
+        jnp.zeros((n,), jnp.uint32),      # rays cast
+    )
+    _, _, _, color, _, rays_cast = jax.lax.fori_loop(0, max_bounces, bounce, init)
+    return color, rays_cast
+
+
+def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
+                         nearest_fn, ray_chunk: Optional[int]):
+    if ray_chunk is None:
+        return trace_rays(scene, origins, directions, base, max_bounces, nearest_fn)
+    n = origins.shape[0]
+    k = n // ray_chunk
+
+    def one(args):
+        o, d, bs = args
+        return trace_rays(scene, o, d, bs, max_bounces, nearest_fn)
+
+    color, rays = jax.lax.map(one, (
+        origins.reshape(k, ray_chunk, 3),
+        directions.reshape(k, ray_chunk, 3),
+        base.reshape(k, ray_chunk),
+    ))
+    return color.reshape(n, 3), rays.reshape(n)
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "spp", "max_bounces", "backend", "ray_chunk", "seed"))
+def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
+                spp: int, sample_start, seed: int = 0, max_bounces: int = 5,
+                backend: str = "jnp", ray_chunk: Optional[int] = None):
+    """One progressive pass: `spp` jittered samples for every pixel.
+
+    -> (image_sum [H,W,3] linear radiance summed over spp, rays_cast [] u32).
+    The spp axis is a lax.scan (sample batches), the reference's
+    one-pass-per-frame progressive loop collapsed into one dispatch.
+    """
+    n = width * height
+    pixel = jnp.arange(n, dtype=jnp.int32)
+    nearest = _nearest_fn(backend)
+
+    def sample_body(carry, s):
+        color_sum, rays = carry
+        o, d, base = camera_rays(camera, width, height, pixel, s, seed)
+        color, rc = _trace_maybe_chunked(
+            scene, o, d, base, max_bounces, nearest, ray_chunk)
+        return (color_sum + color, rays + jnp.sum(rc)), None
+
+    init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.uint32))
+    samples = jnp.asarray(sample_start, jnp.uint32) + jnp.arange(spp, dtype=jnp.uint32)
+    (color_sum, rays), _ = jax.lax.scan(sample_body, init, samples)
+    return color_sum.reshape(height, width, 3), rays
+
+
+class PathTracer:
+    """Progressive path tracer bound to a RenderConfig.
+
+    The host-side progressive loop replaces the reference's rAF frame loop
+    (wasm/wasm.cpp:176-222): each `step` folds one spp-sample pass into the
+    accumulator; `srgb_image` is the displayable u8 frame.
+    """
+
+    def __init__(self, config: RenderConfig, scene: Scene | None = None):
+        self.config = config
+        self.scene = scene if scene is not None else make_scene(config.scene)
+        self.camera = default_camera(self.scene)
+
+    def init_state(self) -> AccumState:
+        return AccumState.zeros(self.config.height, self.config.width)
+
+    def step(self, state: AccumState, camera: Camera | None = None):
+        """One progressive pass -> (new AccumState, rays_cast u32)."""
+        cfg = self.config
+        img_sum, rays = render_pass(
+            self.scene, camera or self.camera,
+            width=cfg.width, height=cfg.height, spp=cfg.spp,
+            sample_start=state.samples.astype(jnp.uint32),
+            seed=cfg.seed, max_bounces=cfg.max_bounces,
+            backend=cfg.backend, ray_chunk=cfg.ray_chunk,
+        )
+        return accumulate(state, img_sum, cfg.spp), rays
+
+    def srgb_image(self, state: AccumState):
+        """u8 RGBA frame, rows flipped so row 0 is the image top."""
+        srgb = linear_to_srgb(state.mean, exact=self.config.exact_srgb)
+        return pack_rgba8(srgb)[::-1]
+
+    def render(self, passes: int = 1, camera: Camera | None = None):
+        """Host progressive loop -> (AccumState, total rays cast: int)."""
+        state = self.init_state()
+        total_rays = 0
+        for _ in range(passes):
+            state, rays = self.step(state, camera)
+            total_rays += int(rays)
+        return state, total_rays
