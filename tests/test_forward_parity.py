@@ -1,0 +1,85 @@
+"""Forward parity: TPU-style jnp wavefront tracer vs CPU oracle re-execution.
+
+The oracle (tpu_ray.oracle) re-executes the reference scalar algorithm
+(reference main.cpp:497-640) with branchy per-pixel control flow and the same
+counter-based RNG, so images must agree to f32 accumulation noise
+(BASELINE.md "forward image parity").
+"""
+import numpy as np
+import pytest
+
+from tpu_ray.core.camera import default_camera
+from tpu_ray.core.scene import make_scene
+from tpu_ray.models.path_tracer import render_pass
+from tpu_ray.oracle.cpu_oracle import CpuOracle
+
+
+def _compare(name, wh, spp, seed, max_abs):
+    scene = make_scene(name)
+    cam = default_camera(scene)
+    img, rays = render_pass(scene, cam, width=wh, height=wh, spp=spp,
+                            sample_start=0, seed=seed)
+    img = np.asarray(img)
+    oimg, orays = CpuOracle(scene).render_pass(
+        np.asarray(cam.position), np.asarray(cam.look_at), wh, wh,
+        spp=spp, seed=seed)
+    assert int(rays) == orays, f"{name}: rays_cast mismatch"
+    diff = np.abs(img - oimg)
+    assert diff.max() <= max_abs, f"{name}: max diff {diff.max()}"
+    return img
+
+
+def test_rgb_parity_bit_level():
+    img = _compare("rgb", 24, 2, 0, max_abs=1e-6)
+    assert img.mean() > 0.01  # image is not black
+
+
+def test_randomized_parity():
+    _compare("randomized", 16, 1, 3, max_abs=1e-5)
+
+
+def test_rtweekend_parity():
+    # sky + dielectrics + speculars; fp reassociation gives ~1e-4 worst case
+    img = _compare("rtweekend", 16, 1, 1, max_abs=5e-4)
+    assert img.mean() > 0.1  # sky makes this bright
+
+
+def test_progressive_accumulation_matches_oracle():
+    """Two 1-spp passes accumulated == oracle 2-spp mean."""
+    from tpu_ray.config import RenderConfig
+    from tpu_ray.models.path_tracer import PathTracer
+
+    cfg = RenderConfig(scene="rgb", width=16, height=16, spp=1, seed=5)
+    tracer = PathTracer(cfg)
+    state = tracer.init_state()
+    state, r1 = tracer.step(state)
+    state, r2 = tracer.step(state)
+    assert int(state.samples) == 2
+
+    oimg, orays = CpuOracle(tracer.scene).render_pass(
+        np.asarray(tracer.camera.position), np.asarray(tracer.camera.look_at),
+        16, 16, spp=2, seed=5)
+    np.testing.assert_allclose(np.asarray(state.mean), oimg / 2.0, atol=1e-6)
+    assert int(r1) + int(r2) == orays
+
+
+def test_seed_changes_image():
+    scene = make_scene("rgb")
+    cam = default_camera(scene)
+    a, _ = render_pass(scene, cam, width=16, height=16, spp=1,
+                       sample_start=0, seed=0)
+    b, _ = render_pass(scene, cam, width=16, height=16, spp=1,
+                       sample_start=0, seed=1)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+def test_ray_chunking_invariant():
+    """Chunked wavefront == unchunked (sharding-safety of the RNG scheme)."""
+    scene = make_scene("rgb")
+    cam = default_camera(scene)
+    a, ra = render_pass(scene, cam, width=16, height=16, spp=1,
+                        sample_start=0, seed=0)
+    b, rb = render_pass(scene, cam, width=16, height=16, spp=1,
+                        sample_start=0, seed=0, ray_chunk=64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ra) == int(rb)
