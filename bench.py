@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: rays/s/chip, forward+backward, 1080p 64 spp.
+
+The metric generalizes the reference's live stats panel (avg time per ray
+cast = TimeElapsed/TotalRays, reference wasm/wasm.cpp:199, main.cpp:696-703):
+total rays cast (one count per bounce-loop iteration entered, exactly the
+reference's counter at main.cpp:390) divided by wall time for a full
+forward+backward step (render + loss + gradients w.r.t. every scene
+parameter and the camera pose).
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
+reported against a per-chip speed-of-light estimate: the minimum VPU work
+per ray cast is ~23 flops per (ray, sphere) pair over the padded sphere
+axis, forward+backward ~3x forward, at the chip's peak f32 vector flops.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Peak f32 VPU flops per chip (per-generation; v5e ~ 197 bf16 MXU TFLOPs but
+# this workload is elementwise f32 on the VPU: ~ 1/4 of bf16 MXU peak).
+VPU_F32_FLOPS = {"v5e": 49.2e12, "v5p": 115e12, "v4": 68.5e12}
+FLOPS_PER_RAY_SPHERE = 23.0   # intersection test + masked min (fwd)
+FWD_BWD_FACTOR = 3.0
+
+
+def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str) -> float:
+    peak = VPU_F32_FLOPS.get(chip, 49.2e12)
+    per_ray = FLOPS_PER_RAY_SPHERE * n_pad
+    if mode == "fwd+bwd":
+        per_ray *= FWD_BWD_FACTOR
+    return peak / per_ray
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--scene", default="rtweekend")
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--mode", default="fwd+bwd", choices=["fwd", "fwd+bwd"])
+    ap.add_argument("--max-bounces", type=int, default=5)
+    ap.add_argument("--ray-chunk", type=int, default=0,
+                    help="rays per chunk (0 = auto)")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--chip", default="v5e")
+    args = ap.parse_args()
+
+    from tpu_ray import make_scene, default_camera
+    from tpu_ray.models.path_tracer import render_pass
+    from tpu_ray.grad import image_mse, render_mean
+
+    scene = make_scene(args.scene)
+    camera = default_camera(scene)
+    n = args.width * args.height
+    ray_chunk = args.ray_chunk or None
+    if ray_chunk is None and n * scene.n_pad > (1 << 28):
+        # keep the fused [chunk, n_pad] intersection tile ~128 MB
+        ray_chunk = next(c for c in (129600, 86400, 43200, 28800, 14400,
+                                     7200, 3600)
+                         if n % c == 0)
+
+    kw = dict(width=args.width, height=args.height, spp=args.spp,
+              seed=0, max_bounces=args.max_bounces, backend=args.backend,
+              ray_chunk=ray_chunk)
+
+    # total rays cast (the reference's counter) from one forward pass
+    _, rays = render_pass(scene, camera, sample_start=0, **kw)
+    total_rays = int(rays)
+
+    if args.mode == "fwd":
+        def step(scene, camera):
+            img, rays = render_pass(scene, camera, sample_start=0, **kw)
+            return img
+    else:
+        target = jnp.zeros((args.height, args.width, 3), jnp.float32)
+
+        @jax.jit
+        def step(scene, camera):
+            def loss_fn(scene, camera):
+                img = render_mean(scene, camera, sample_start=0, remat=True,
+                                  **kw)
+                return image_mse(img, target)
+            return jax.grad(loss_fn, argnums=(0, 1))(scene, camera)
+
+    jax.block_until_ready(step(scene, camera))  # compile + warm up
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(scene, camera)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    value = total_rays / dt
+    sol = speed_of_light_rays_per_s(scene.n_pad, args.chip, args.mode)
+    print(json.dumps({
+        "metric": f"rays/s/chip {args.mode} {args.width}x{args.height} "
+                  f"{args.spp}spp {args.scene}",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / sol, 4),
+        "total_rays_per_step": total_rays,
+        "step_seconds": round(dt, 4),
+        "ns_per_ray": round(dt / total_rays * 1e9, 3),
+        "backend": args.backend,
+        "ray_chunk": ray_chunk,
+        "speed_of_light_rays_per_s": round(sol, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ import math
 from typing import Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpu_ray.core.refpcg import RefPcg32
@@ -97,7 +98,7 @@ class _SceneBuilder:
         def pack(rows, shape):
             out = np.zeros((n_pad,) + shape, np.float32)
             out[:n] = np.stack(rows) if shape else np.asarray(rows, np.float32)
-            return out
+            return jnp.asarray(out)  # device array: usable under trace & jit
 
         return Scene(
             center=pack(self.centers, (3,)),

@@ -24,37 +24,52 @@ from tpu_ray.core import rng
 from tpu_ray.core.camera import Camera, default_camera
 from tpu_ray.core.scene import Scene, make_scene
 from tpu_ray.ops.accumulate import AccumState, accumulate
-from tpu_ray.ops.intersect import Hit, hit_payload, nearest_hit_jnp
+from tpu_ray.ops.intersect import Payload, hit_payload, nearest_hit_jnp
 from tpu_ray.ops.raygen import camera_rays
 from tpu_ray.ops.shade import scatter_direction, sky_color
 from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
 
-NearestFn = Callable[[Scene, jax.Array, jax.Array], Hit]
+# probe(scene, origins, directions) -> Payload: nearest hit + differentiable
+# attributes. Pluggable so backends (jnp / pallas) and sharded probes
+# (tpu_ray.parallel: per-sphere-shard partial minima + collective select)
+# slot into one bounce loop.
+ProbeFn = Callable[[Scene, jax.Array, jax.Array], Payload]
 
 
-def _nearest_fn(backend: str) -> NearestFn:
+def probe_jnp(scene: Scene, origins, directions) -> Payload:
+    """jnp-backend probe: brute-force search + payload recompute."""
+    hit = nearest_hit_jnp(scene.center, scene.radius, origins, directions)
+    return hit_payload(scene, origins, directions, hit)
+
+
+def probe_pallas(scene: Scene, origins, directions) -> Payload:
+    """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
+    from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
+    hit = nearest_hit_pallas(scene.center, scene.radius, origins, directions)
+    return hit_payload(scene, origins, directions, hit)
+
+
+def probe_fn_for_backend(backend: str) -> ProbeFn:
     if backend == "jnp":
-        return lambda scene, o, d: nearest_hit_jnp(scene.center, scene.radius, o, d)
+        return probe_jnp
     if backend == "pallas":
-        from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
-        return lambda scene, o, d: nearest_hit_pallas(scene.center, scene.radius, o, d)
+        return probe_pallas
     raise ValueError(backend)
 
 
 def trace_rays(scene: Scene, origins, directions, stream_base,
-               max_bounces: int, nearest_fn: NearestFn):
+               max_bounces: int, probe_fn: ProbeFn):
     """Trace a flat ray wavefront to completion.
 
     -> (color [R,3] linear radiance, rays_cast [R] u32).
     Bounce loop = reference main.cpp:388-482 with alive-masking.
     """
 
-    def bounce(b, carry):
+    def bounce(carry, b):
         origin, direction, atten, color, alive, rays_cast = carry
         rays_cast = rays_cast + alive.astype(jnp.uint32)
 
-        hit = nearest_fn(scene, origin, direction)
-        p = hit_payload(scene, origin, direction, hit)
+        p = probe_fn(scene, origin, direction)
 
         # miss: optional sky emission, then the ray dies (main.cpp:433-440)
         if scene.use_sky:
@@ -77,7 +92,7 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
         )
         direction = jnp.where(lh, new_dir, direction)
         origin = jnp.where(lh, p.next_origin, origin)
-        return origin, direction, atten, color, live_hit, rays_cast
+        return (origin, direction, atten, color, live_hit, rays_cast), None
 
     n = origins.shape[0]
     init = (
@@ -88,20 +103,23 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
         jnp.ones((n,), bool),             # alive
         jnp.zeros((n,), jnp.uint32),      # rays cast
     )
-    _, _, _, color, _, rays_cast = jax.lax.fori_loop(0, max_bounces, bounce, init)
+    # scan (not fori_loop) so the bounce loop is reverse-differentiable for
+    # the inverse-rendering path (tpu_ray.grad); identical forward ops.
+    (_, _, _, color, _, rays_cast), _ = jax.lax.scan(
+        bounce, init, jnp.arange(max_bounces, dtype=jnp.uint32))
     return color, rays_cast
 
 
 def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
-                         nearest_fn, ray_chunk: Optional[int]):
+                         probe_fn, ray_chunk: Optional[int]):
     if ray_chunk is None:
-        return trace_rays(scene, origins, directions, base, max_bounces, nearest_fn)
+        return trace_rays(scene, origins, directions, base, max_bounces, probe_fn)
     n = origins.shape[0]
     k = n // ray_chunk
 
     def one(args):
         o, d, bs = args
-        return trace_rays(scene, o, d, bs, max_bounces, nearest_fn)
+        return trace_rays(scene, o, d, bs, max_bounces, probe_fn)
 
     color, rays = jax.lax.map(one, (
         origins.reshape(k, ray_chunk, 3),
@@ -109,6 +127,39 @@ def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
         base.reshape(k, ray_chunk),
     ))
     return color.reshape(n, 3), rays.reshape(n)
+
+
+def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
+                  height: int, spp: int, sample_start, seed: int = 0,
+                  max_bounces: int = 5, probe_fn: ProbeFn = probe_jnp,
+                  ray_chunk: Optional[int] = None, remat: bool = False):
+    """`spp` jittered samples for an arbitrary flat pixel subset.
+
+    pixel [R] i32 flat indices (row-major). -> (color_sum [R,3] linear
+    radiance summed over spp, rays_cast [] u32). This is the shard-local body
+    used both single-chip (pixel = full arange) and under shard_map (pixel =
+    this device's slice of the ray axis, tpu_ray.parallel).
+
+    remat=True rematerializes the per-sample trace in the backward pass
+    (recompute-instead-of-save, SURVEY.md §7 "Backward memory"): reverse-mode
+    residuals drop from O(spp * bounces * R) to O(spp * R) carries.
+    """
+    n = pixel.shape[0]
+    trace = _trace_maybe_chunked
+    if remat:
+        trace = jax.checkpoint(trace, static_argnums=(4, 5, 6))
+
+    def sample_body(carry, s):
+        color_sum, rays = carry
+        o, d, base = camera_rays(camera, width, height, pixel, s, seed)
+        color, rc = trace(
+            scene, o, d, base, max_bounces, probe_fn, ray_chunk)
+        return (color_sum + color, rays + jnp.sum(rc)), None
+
+    init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.uint32))
+    samples = jnp.asarray(sample_start, jnp.uint32) + jnp.arange(spp, dtype=jnp.uint32)
+    (color_sum, rays), _ = jax.lax.scan(sample_body, init, samples)
+    return color_sum, rays
 
 
 @partial(jax.jit, static_argnames=(
@@ -122,20 +173,11 @@ def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
     The spp axis is a lax.scan (sample batches), the reference's
     one-pass-per-frame progressive loop collapsed into one dispatch.
     """
-    n = width * height
-    pixel = jnp.arange(n, dtype=jnp.int32)
-    nearest = _nearest_fn(backend)
-
-    def sample_body(carry, s):
-        color_sum, rays = carry
-        o, d, base = camera_rays(camera, width, height, pixel, s, seed)
-        color, rc = _trace_maybe_chunked(
-            scene, o, d, base, max_bounces, nearest, ray_chunk)
-        return (color_sum + color, rays + jnp.sum(rc)), None
-
-    init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.uint32))
-    samples = jnp.asarray(sample_start, jnp.uint32) + jnp.arange(spp, dtype=jnp.uint32)
-    (color_sum, rays), _ = jax.lax.scan(sample_body, init, samples)
+    pixel = jnp.arange(width * height, dtype=jnp.int32)
+    color_sum, rays = render_pixels(
+        scene, camera, pixel, width=width, height=height, spp=spp,
+        sample_start=sample_start, seed=seed, max_bounces=max_bounces,
+        probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk)
     return color_sum.reshape(height, width, 3), rays
 
 

@@ -1,0 +1,107 @@
+"""shard_map'd progressive render pass.
+
+Maps the reference's tile/thread decomposition (reference main.cpp:824-838 +
+wasm/wasm.cpp:604-694) onto a TPU mesh: the flat [H*W] pixel axis is evenly
+sharded over the "rays" mesh axis (static sharding replaces the atomic
+fetch-add queue — the workload is uniform, SURVEY.md §2 C6), the scene is
+replicated (or sharded over "spheres"), and the only collectives are a psum
+of the rays-cast stat (reference GetTotalRayCastCount, main.cpp:696-703) and
+— in the sphere-sharded probe — an all_gather of per-shard hit minima.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_ray.core.camera import Camera
+from tpu_ray.core.scene import Scene
+from tpu_ray.models.path_tracer import (
+    Payload,
+    probe_fn_for_backend,
+    render_pixels,
+)
+from tpu_ray.ops.intersect import hit_payload, nearest_hit_jnp
+from tpu_ray.parallel.mesh import RAY_AXIS, SPHERE_AXIS, scene_pspec
+
+
+def probe_sphere_sharded(scene_local: Scene, origins, directions,
+                         axis: str = SPHERE_AXIS) -> Payload:
+    """Nearest-hit probe when the sphere arrays are sharded over `axis`.
+
+    Each device searches its own sphere slice and computes the (differentiable)
+    payload for its local winner — O(R) work — then the global winner is
+    selected by an all_gather of per-shard minima + argmin over the shard
+    axis. Communication is O(R * payload) and independent of scene size: this
+    is the ring-reduce-over-hit-records design from SURVEY.md §5.7.
+
+    Tie-breaking matches the reference's argmin-lowest-index rule
+    (main.cpp:432-443): shards hold contiguous ascending sphere blocks, so
+    (shard, local-argmin) lexicographic order == global lowest index.
+    """
+    hit = nearest_hit_jnp(scene_local.center, scene_local.radius,
+                          origins, directions)
+    p = hit_payload(scene_local, origins, directions, hit)
+
+    t_all = jax.lax.all_gather(jax.lax.stop_gradient(hit.t), axis)  # [S, R]
+    win = jnp.argmin(t_all, axis=0)                                 # [R]
+
+    def select(x):
+        xs = jax.lax.all_gather(x, axis)  # [S, R, ...]
+        w = win.reshape((1,) + win.shape + (1,) * (xs.ndim - 2))
+        return jnp.take_along_axis(xs, w, axis=0)[0]
+
+    return Payload(*[select(f) for f in p])
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "width", "height", "spp", "max_bounces", "backend", "ray_chunk",
+    "seed"))
+def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
+                        width: int, height: int, spp: int, sample_start,
+                        seed: int = 0, max_bounces: int = 5,
+                        backend: str = "jnp",
+                        ray_chunk: Optional[int] = None):
+    """One progressive pass, sharded over the mesh.
+
+    -> (image_sum [H,W,3] sharded over rows on "rays", rays_cast [] u32
+    replicated). Semantically identical to
+    tpu_ray.models.path_tracer.render_pass — the sharded-vs-single-chip parity
+    test is the analogue of the reference's EnableSIMD A/B oracle.
+    """
+    n = width * height
+    n_ray = mesh.shape[RAY_AXIS]
+    assert n % n_ray == 0, (n, n_ray)
+    sphere_sharded = SPHERE_AXIS in mesh.axis_names
+
+    if sphere_sharded:
+        n_sph = mesh.shape[SPHERE_AXIS]
+        assert scene.n_pad % n_sph == 0, (scene.n_pad, n_sph)
+        probe = partial(probe_sphere_sharded, axis=SPHERE_AXIS)
+    else:
+        probe = probe_fn_for_backend(backend)
+
+    scene_specs = scene_pspec(scene, SPHERE_AXIS if sphere_sharded else None)
+    pixel = jnp.arange(n, dtype=jnp.int32)
+
+    def shard_fn(scene_local, camera, pixel_local, sample_start):
+        color_sum, rays = render_pixels(
+            scene_local, camera, pixel_local, width=width, height=height,
+            spp=spp, sample_start=sample_start, seed=seed,
+            max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk)
+        # rays-cast stat: identical on every sphere shard (the bounce loop is
+        # redundantly computed there), so reduce over the ray axis only.
+        rays = jax.lax.psum(rays, RAY_AXIS)
+        return color_sum, rays
+
+    color_sum, rays = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(scene_specs, P(), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P()),
+        check_vma=False,
+    )(scene, camera, pixel, jnp.asarray(sample_start, jnp.uint32))
+    return color_sum.reshape(height, width, 3), rays
