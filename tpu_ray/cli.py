@@ -1,0 +1,207 @@
+"""Command-line interface — the reference's HTML control panel, reimagined.
+
+Every control in wasm/index.html:170-209 has a flag here (scene selection,
+render scale -> width/height, thread count -> mesh shape, EnableSIMD ->
+--backend), and the stats panel (index.html:197-203) becomes JSONL metrics.
+
+Subcommands:
+  render  progressive render -> PNG (+ optional checkpoint/resume/metrics)
+  fit     inverse rendering: optimize scene/camera to match a target image
+  bench   thin wrapper over bench.py
+  scenes  list built-in scenes
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(ap: argparse.ArgumentParser):
+    ap.add_argument("--scene", default="rtweekend",
+                    help="rgb | randomized | rtweekend (reference scenes 0-2)")
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=540)
+    ap.add_argument("--spp", type=int, default=1,
+                    help="samples per pixel per pass")
+    ap.add_argument("--max-bounces", type=int, default=5)
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"],
+                    help="intersection backend (the EnableSIMD analogue)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ray-chunk", type=int, default=None)
+    ap.add_argument("--mesh", default=None,
+                    help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
+    ap.add_argument("--metrics", default=None, help="JSONL metrics file")
+    ap.add_argument("--profile", default=None,
+                    help="jax.profiler trace directory")
+
+
+def _parse_mesh(spec):
+    if spec is None:
+        return None
+    from tpu_ray.parallel import make_mesh
+    try:
+        shape = tuple(int(x) for x in spec.lower().split("x"))
+    except ValueError:
+        raise SystemExit(
+            f"error: --mesh expects e.g. '8' or '4x2' (rays[xspheres]), "
+            f"got {spec!r}")
+    return make_mesh(shape)
+
+
+def cmd_render(args) -> int:
+    import jax
+    from tpu_ray import PathTracer, RenderConfig, make_scene
+    from tpu_ray.models.path_tracer import render_pass
+    from tpu_ray.parallel import render_pass_sharded, shard_scene
+    from tpu_ray.ops.accumulate import AccumState, accumulate
+    from tpu_ray.utils import (MetricsLogger, StepTimer, load_checkpoint,
+                               save_checkpoint, write_png)
+    from tpu_ray.utils.metrics import profiler_trace
+
+    cfg = RenderConfig(scene=args.scene, width=args.width, height=args.height,
+                       spp=args.spp, max_bounces=args.max_bounces,
+                       backend=args.backend, seed=args.seed,
+                       ray_chunk=args.ray_chunk)
+    mesh = _parse_mesh(args.mesh)
+    total_rays = 0
+
+    if args.resume:
+        state, scene, camera, saved_cfg, total_rays = load_checkpoint(args.resume)
+        cfg = saved_cfg or cfg
+        tracer = PathTracer(cfg, scene=scene)
+        tracer.camera = camera
+    else:
+        tracer = PathTracer(cfg)
+        state = tracer.init_state()
+    scene, camera = tracer.scene, tracer.camera
+    if mesh is not None:
+        scene = shard_scene(scene, mesh)
+
+    log = MetricsLogger(path=args.metrics)
+    kw = dict(width=cfg.width, height=cfg.height, spp=cfg.spp, seed=cfg.seed,
+              max_bounces=cfg.max_bounces, backend=cfg.backend,
+              ray_chunk=cfg.ray_chunk)
+
+    with profiler_trace(args.profile):
+        for i in range(args.passes):
+            def one_pass():
+                start = state.samples.astype("uint32")
+                if mesh is None:
+                    return render_pass(scene, camera, sample_start=start, **kw)
+                return render_pass_sharded(scene, camera, mesh=mesh,
+                                           sample_start=start, **kw)
+
+            (img_sum, rays), secs = StepTimer.timed(one_pass)
+            state = accumulate(state, img_sum, cfg.spp)
+            total_rays += int(rays)
+            log.log_pass(rays=int(rays), seconds=secs, render_pass=i,
+                         samples=int(state.samples))
+
+    write_png(args.out, jax.device_get(tracer.srgb_image(state)))
+    print(f"wrote {args.out} ({int(state.samples)} spp accumulated, "
+          f"{total_rays} rays)", file=sys.stderr)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state, tracer.scene, camera, cfg,
+                        total_rays)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    return 0
+
+
+def cmd_fit(args) -> int:
+    import dataclasses
+    import numpy as np
+    import jax
+    import optax
+    from tpu_ray import default_camera, make_scene
+    from tpu_ray.grad import make_train_step, render_mean
+    from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
+    from tpu_ray.utils import MetricsLogger, StepTimer, write_png
+
+    mesh = _parse_mesh(args.mesh)
+    scene = make_scene(args.scene)
+    camera = default_camera(scene)
+    kw = dict(width=args.width, height=args.height, spp=args.spp,
+              seed=args.seed, max_bounces=args.max_bounces,
+              backend=args.backend, ray_chunk=args.ray_chunk)
+
+    # self-supervised demo: target = clean render, init = perturbed scene
+    target = render_mean(scene, camera, sample_start=0, **{
+        **kw, "spp": max(args.spp, args.target_spp)})
+    rng = np.random.default_rng(args.seed)
+    perturbed = dataclasses.replace(
+        scene,
+        albedo=scene.albedo * jnp_clip01(rng.uniform(0.4, 1.0)),
+        emissive=scene.emissive * 0.5,
+    )
+
+    init_fn, step_fn = make_train_step(
+        mesh=mesh, optimizer=optax.adam(args.lr), train_camera=False,
+        fixed_samples=True, remat=True, **kw)
+    state = init_fn(perturbed, camera)
+
+    log = MetricsLogger(path=args.metrics)
+    for i in range(args.steps):
+        (state, loss), secs = StepTimer.timed(step_fn, state, target)
+        log.log(fit_step=i, loss=float(loss), seconds=round(secs, 4))
+
+    img = render_mean(state.scene, state.camera, sample_start=0, **kw)
+    write_png(args.out, jax.device_get(
+        pack_rgba8(linear_to_srgb(img))[::-1]))
+    print(f"wrote {args.out} (final loss {float(loss):.6f})", file=sys.stderr)
+    return 0
+
+
+def jnp_clip01(x):
+    return min(max(float(x), 0.0), 1.0)
+
+
+def cmd_scenes(args) -> int:
+    from tpu_ray import SCENE_BUILDERS, make_scene
+    for i, name in enumerate(SCENE_BUILDERS):
+        s = make_scene(name)
+        print(f"{i}: {name:12s} {s.n_real:4d} spheres "
+              f"(padded {s.n_pad}), sky={s.use_sky}")
+    return 0
+
+
+def cmd_bench(args, extra) -> int:
+    import subprocess
+    return subprocess.call([sys.executable, "bench.py", *extra])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpu-ray", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="progressive render -> PNG")
+    _add_common(r)
+    r.add_argument("--passes", type=int, default=1,
+                   help="progressive passes (each adds spp samples)")
+    r.add_argument("--out", default="out.png")
+    r.add_argument("--checkpoint", default=None, help="save state npz here")
+    r.add_argument("--resume", default=None, help="resume from checkpoint")
+
+    f = sub.add_parser("fit", help="inverse-rendering optimization demo")
+    _add_common(f)
+    f.add_argument("--steps", type=int, default=50)
+    f.add_argument("--lr", type=float, default=0.05)
+    f.add_argument("--target-spp", type=int, default=4)
+    f.add_argument("--out", default="fit.png")
+
+    sub.add_parser("scenes", help="list built-in scenes")
+    sub.add_parser("bench", help="run the headline benchmark (bench.py)")
+
+    args, extra = ap.parse_known_args(argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "fit":
+        return cmd_fit(args)
+    if args.cmd == "scenes":
+        return cmd_scenes(args)
+    if args.cmd == "bench":
+        return cmd_bench(args, extra)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
