@@ -24,11 +24,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Peak f32 VPU flops per chip (per-generation; v5e ~ 197 bf16 MXU TFLOPs but
-# this workload is elementwise f32 on the VPU: ~ 1/4 of bf16 MXU peak).
-VPU_F32_FLOPS = {"v5e": 49.2e12, "v5p": 115e12, "v4": 68.5e12}
-FLOPS_PER_RAY_SPHERE = 23.0   # intersection test + masked min (fwd)
-FWD_BWD_FACTOR = 3.0
+# Effective f32 VPU throughput per chip (elementwise ops/s, measured: the
+# isolated nearest-hit kernel sustains ~1.5e12 f32 ops/s on v5e; this
+# workload has no matmul so MXU peak is irrelevant).
+VPU_F32_FLOPS = {"v5e": 1.5e12, "v5p": 3.5e12, "v4": 2.1e12}
+FLOPS_PER_RAY_SPHERE = 25.0   # intersection test + masked argmin (fwd)
+FWD_BWD_FACTOR = 3.0          # backward ~= remat forward + reverse sweep
 
 
 def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str) -> float:

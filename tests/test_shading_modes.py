@@ -1,0 +1,67 @@
+"""Flat + Lambert/shadow shading modes (BASELINE.json configs 1-2)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_ray import default_camera, make_scene
+from tpu_ray.models.path_tracer import render_pass
+from tpu_ray.ops.shading_modes import scene_light_indices
+from tpu_ray.parallel import make_mesh, render_pass_sharded, shard_scene
+
+
+def test_flat_single_scene():
+    scene = make_scene("single")
+    cam = default_camera(scene)
+    img, rays = render_pass(scene, cam, width=64, height=64, spp=1,
+                            sample_start=0, shading="flat")
+    img = np.asarray(img)
+    # flat = exactly one ray per pixel sample
+    assert int(rays) == 64 * 64
+    # center of frame looks at the red sphere -> its albedo
+    np.testing.assert_allclose(img[32, 32], [0.8, 0.3, 0.3], atol=1e-6)
+    # top rows are sky (gradient between white and blue)
+    assert img[63, 0, 2] >= img[63, 0, 0]  # blue-ish
+
+
+def test_lambert_shadow_sixteen_scene():
+    scene = make_scene("sixteen")
+    lights = scene_light_indices(scene)
+    assert lights == (1, 2)
+    cam = default_camera(scene)
+    img, rays = render_pass(scene, cam, width=64, height=64, spp=1,
+                            sample_start=0, shading="lambert_shadow",
+                            lights=lights)
+    img = np.asarray(img)
+    n = 64 * 64
+    # 1 primary per pixel + one shadow ray per light per hit
+    assert n < int(rays) <= n * (1 + len(lights))
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # lighting is not flat: lit and shadowed pixels differ
+    assert img.max() > 10 * max(img.min(), 1e-6)
+
+
+def test_lambert_shadow_sharded_parity():
+    scene = make_scene("sixteen")
+    lights = scene_light_indices(scene)
+    cam = default_camera(scene)
+    kw = dict(width=32, height=16, spp=1, sample_start=0,
+              shading="lambert_shadow", lights=lights)
+    img0, rays0 = render_pass(scene, cam, **kw)
+    mesh = make_mesh((4, 2))
+    img, rays = render_pass_sharded(shard_scene(scene, mesh), cam,
+                                    mesh=mesh, **kw)
+    assert int(rays) == int(rays0)
+    # allclose (not bit-equal): XLA fuses FMAs differently for the narrower
+    # per-shard sphere slices, a 1-ulp effect
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flat_matches_probe_backends():
+    scene = make_scene("single")
+    cam = default_camera(scene)
+    kw = dict(width=32, height=32, spp=1, sample_start=0, shading="flat")
+    img_j, _ = render_pass(scene, cam, backend="jnp", **kw)
+    img_p, _ = render_pass(scene, cam, backend="pallas", **kw)
+    diff = np.abs(np.asarray(img_j) - np.asarray(img_p))
+    assert (diff < 1e-6).mean() > 0.999

@@ -28,6 +28,8 @@ def _add_common(ap: argparse.ArgumentParser):
                     help="intersection backend (the EnableSIMD analogue)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ray-chunk", type=int, default=None)
+    ap.add_argument("--shading", default="path",
+                    choices=["path", "flat", "lambert_shadow"])
     ap.add_argument("--mesh", default=None,
                     help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
     ap.add_argument("--metrics", default=None, help="JSONL metrics file")
@@ -61,7 +63,7 @@ def cmd_render(args) -> int:
     cfg = RenderConfig(scene=args.scene, width=args.width, height=args.height,
                        spp=args.spp, max_bounces=args.max_bounces,
                        backend=args.backend, seed=args.seed,
-                       ray_chunk=args.ray_chunk)
+                       ray_chunk=args.ray_chunk, shading=args.shading)
     mesh = _parse_mesh(args.mesh)
     total_rays = 0
 
@@ -80,7 +82,8 @@ def cmd_render(args) -> int:
     log = MetricsLogger(path=args.metrics)
     kw = dict(width=cfg.width, height=cfg.height, spp=cfg.spp, seed=cfg.seed,
               max_bounces=cfg.max_bounces, backend=cfg.backend,
-              ray_chunk=cfg.ray_chunk)
+              ray_chunk=cfg.ray_chunk, shading=cfg.shading,
+              lights=tracer.lights)
 
     with profiler_trace(args.profile):
         for i in range(args.passes):

@@ -274,13 +274,62 @@ def make_rtweekend_scene(pad_to: int = SPHERE_PAD) -> Scene:
     )
 
 
+def make_single_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """Single sphere + ground "plane" (huge sphere), sky lit.
+
+    BASELINE.json config 1: the minimal CPU-runnable end-to-end scene.
+    Not a reference scene; geometry follows the reference's ground-sphere
+    idiom (main.cpp:174, a 256-radius sphere as the floor).
+    """
+    b = _SceneBuilder()
+    b.add((0.0, -256.0, -10.0), 256.0, (0.5, 0.5, 0.5))
+    b.add((0.0, 1.5, -10.0), 1.5, (0.8, 0.3, 0.3))
+    return b.build(
+        look_at=b.centers[1],
+        use_sky=True,
+        default_distance=10.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(3.0),
+        default_y_height=2.0 * WORLD_SCALE,
+        pad_to=pad_to,
+    )
+
+
+def make_sixteen_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """16 spheres: ground + 2 emissive lights + 13 diffuse/specular ring.
+
+    BASELINE.json config 2: the Lambertian + shadow-ray benchmark scene.
+    Deterministic layout (no RNG) so goldens are stable.
+    """
+    b = _SceneBuilder()
+    b.add((0.0, -256.0, 0.0), 256.0, (0.45, 0.45, 0.45))
+    b.add((0.0, 6.0, 0.0), 1.0, (1.0, 1.0, 1.0), emissive=(12.0, 11.0, 10.0))
+    b.add((5.0, 4.0, 5.0), 0.75, (1.0, 1.0, 1.0), emissive=(2.0, 4.0, 8.0))
+    for k in range(13):
+        ang = 2.0 * float(PI32) * k / 13.0
+        r = 3.5
+        b.add((r * math.cos(ang), 0.8, r * math.sin(ang)), 0.8,
+              ((k % 3 == 0) * 0.7 + 0.2, (k % 3 == 1) * 0.7 + 0.2,
+               (k % 3 == 2) * 0.7 + 0.2),
+              specular=0.9 if k % 4 == 0 else 0.0)
+    return b.build(
+        look_at=(0.0, 0.0, 0.0),
+        use_sky=False,
+        default_distance=14.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(4.0),
+        default_y_height=5.0 * WORLD_SCALE,
+        pad_to=pad_to,
+    )
+
+
 SCENE_BUILDERS: Dict[str, Callable[..., Scene]] = {
     "rgb": make_rgb_scene,            # reference scene 0
     "randomized": make_randomized_scene,  # reference scene 1
     "rtweekend": make_rtweekend_scene,    # reference scene 2
+    "single": make_single_scene,          # BASELINE config 1
+    "sixteen": make_sixteen_scene,        # BASELINE config 2
 }
 
-_SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend"]
+_SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend", "single", "sixteen"]
 
 
 def make_scene(name_or_index, pad_to: int = SPHERE_PAD) -> Scene:

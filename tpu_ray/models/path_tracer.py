@@ -132,7 +132,9 @@ def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
 def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
                   height: int, spp: int, sample_start, seed: int = 0,
                   max_bounces: int = 5, probe_fn: ProbeFn = probe_jnp,
-                  ray_chunk: Optional[int] = None, remat: bool = False):
+                  ray_chunk: Optional[int] = None, remat: bool = False,
+                  shading: str = "path", lights: tuple = (),
+                  light_data=None):
     """`spp` jittered samples for an arbitrary flat pixel subset.
 
     pixel [R] i32 flat indices (row-major). -> (color_sum [R,3] linear
@@ -145,7 +147,17 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     residuals drop from O(spp * bounces * R) to O(spp * R) carries.
     """
     n = pixel.shape[0]
-    trace = _trace_maybe_chunked
+    if shading == "path":
+        trace = _trace_maybe_chunked
+    elif shading == "flat":
+        from tpu_ray.ops.shading_modes import trace_flat
+        trace = lambda sc, o, d, b, mb, pf, rc: trace_flat(sc, o, d, pf)
+    elif shading == "lambert_shadow":
+        from tpu_ray.ops.shading_modes import trace_lambert_shadow
+        trace = lambda sc, o, d, b, mb, pf, rc: trace_lambert_shadow(
+            sc, o, d, pf, lights, light_data)
+    else:
+        raise ValueError(shading)
     if remat:
         trace = jax.checkpoint(trace, static_argnums=(4, 5, 6))
 
@@ -163,21 +175,27 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
 
 
 @partial(jax.jit, static_argnames=(
-    "width", "height", "spp", "max_bounces", "backend", "ray_chunk", "seed"))
+    "width", "height", "spp", "max_bounces", "backend", "ray_chunk", "seed",
+    "shading", "lights"))
 def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start, seed: int = 0, max_bounces: int = 5,
-                backend: str = "jnp", ray_chunk: Optional[int] = None):
+                backend: str = "jnp", ray_chunk: Optional[int] = None,
+                shading: str = "path", lights: tuple = ()):
     """One progressive pass: `spp` jittered samples for every pixel.
 
     -> (image_sum [H,W,3] linear radiance summed over spp, rays_cast [] u32).
     The spp axis is a lax.scan (sample batches), the reference's
     one-pass-per-frame progressive loop collapsed into one dispatch.
+    `shading` selects the estimator: 'path' (the reference algorithm),
+    'flat', or 'lambert_shadow' (needs static `lights` indices — see
+    ops/shading_modes.scene_light_indices).
     """
     pixel = jnp.arange(width * height, dtype=jnp.int32)
     color_sum, rays = render_pixels(
         scene, camera, pixel, width=width, height=height, spp=spp,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
-        probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk)
+        probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
+        shading=shading, lights=lights)
     return color_sum.reshape(height, width, 3), rays
 
 
@@ -193,6 +211,10 @@ class PathTracer:
         self.config = config
         self.scene = scene if scene is not None else make_scene(config.scene)
         self.camera = default_camera(self.scene)
+        self.lights: tuple = ()
+        if config.shading == "lambert_shadow":
+            from tpu_ray.ops.shading_modes import scene_light_indices
+            self.lights = scene_light_indices(self.scene)
 
     def init_state(self) -> AccumState:
         return AccumState.zeros(self.config.height, self.config.width)
@@ -206,6 +228,7 @@ class PathTracer:
             sample_start=state.samples.astype(jnp.uint32),
             seed=cfg.seed, max_bounces=cfg.max_bounces,
             backend=cfg.backend, ray_chunk=cfg.ray_chunk,
+            shading=cfg.shading, lights=self.lights,
         )
         return accumulate(state, img_sum, cfg.spp), rays
 

@@ -62,6 +62,7 @@ def nearest_hit_jnp(center, radius, origin, direction) -> Hit:
 
 class Payload(NamedTuple):
     hit: jax.Array          # [R] bool, False = miss
+    idx: jax.Array          # [R] i32 winning sphere index (non-diff)
     t: jax.Array            # [R] f32 recomputed (differentiable)
     next_origin: jax.Array  # [R,3]
     normal_raw: jax.Array   # [R,3] unnormalized (hit point - center)
@@ -111,6 +112,7 @@ def hit_payload(scene: Scene, origin, direction, hit: Hit) -> Payload:
 
     return Payload(
         hit=hit.t < F32_MAX,
+        idx=idx,
         t=t,
         next_origin=next_origin,
         normal_raw=normal_raw,

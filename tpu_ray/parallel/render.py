@@ -45,6 +45,9 @@ def probe_sphere_sharded(scene_local: Scene, origins, directions,
     hit = nearest_hit_jnp(scene_local.center, scene_local.radius,
                           origins, directions)
     p = hit_payload(scene_local, origins, directions, hit)
+    # local -> global sphere index (shards hold contiguous ascending blocks)
+    n_local = scene_local.center.shape[0]
+    p = p._replace(idx=p.idx + jax.lax.axis_index(axis) * n_local)
 
     t_all = jax.lax.all_gather(jax.lax.stop_gradient(hit.t), axis)  # [S, R]
     win = jnp.argmin(t_all, axis=0)                                 # [R]
@@ -59,12 +62,13 @@ def probe_sphere_sharded(scene_local: Scene, origins, directions,
 
 @partial(jax.jit, static_argnames=(
     "mesh", "width", "height", "spp", "max_bounces", "backend", "ray_chunk",
-    "seed"))
+    "seed", "shading", "lights"))
 def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
                         width: int, height: int, spp: int, sample_start,
                         seed: int = 0, max_bounces: int = 5,
                         backend: str = "jnp",
-                        ray_chunk: Optional[int] = None):
+                        ray_chunk: Optional[int] = None,
+                        shading: str = "path", lights: tuple = ()):
     """One progressive pass, sharded over the mesh.
 
     -> (image_sum [H,W,3] sharded over rows on "rays", rays_cast [] u32
@@ -86,12 +90,17 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
 
     scene_specs = scene_pspec(scene, SPHERE_AXIS if sphere_sharded else None)
     pixel = jnp.arange(n, dtype=jnp.int32)
+    # light data from the GLOBAL scene, replicated into every shard (a
+    # sphere shard may not own the light's row)
+    from tpu_ray.ops.shading_modes import scene_light_data
+    light_data = scene_light_data(scene, lights)
 
-    def shard_fn(scene_local, camera, pixel_local, sample_start):
+    def shard_fn(scene_local, camera, pixel_local, sample_start, light_data):
         color_sum, rays = render_pixels(
             scene_local, camera, pixel_local, width=width, height=height,
             spp=spp, sample_start=sample_start, seed=seed,
-            max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk)
+            max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk,
+            shading=shading, lights=lights, light_data=light_data)
         # rays-cast stat: identical on every sphere shard (the bounce loop is
         # redundantly computed there), so reduce over the ray axis only.
         rays = jax.lax.psum(rays, RAY_AXIS)
@@ -100,8 +109,9 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     color_sum, rays = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(scene_specs, P(), P(RAY_AXIS), P()),
+        in_specs=(scene_specs, P(), P(RAY_AXIS), P(), P()),
         out_specs=(P(RAY_AXIS), P()),
         check_vma=False,
-    )(scene, camera, pixel, jnp.asarray(sample_start, jnp.uint32))
+    )(scene, camera, pixel, jnp.asarray(sample_start, jnp.uint32),
+      light_data)
     return color_sum.reshape(height, width, 3), rays
