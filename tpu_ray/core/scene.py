@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_ray.core.refpcg import RefPcg32
+from tpu_ray.core.trimesh import Triangles, icosphere, merge, pack_triangles, quad
 
 WORLD_SCALE = np.float32(1.0 / 16.0)  # reference main.cpp:56
 F32_EPS = np.float32(1e-4)            # reference base.h:889
@@ -48,6 +49,9 @@ class Scene:
     specular: jax.Array   # [N]   f32
     ior: jax.Array        # [N]   f32 (0 => diffuse/specular, else dielectric)
     look_at: jax.Array    # [3]   f32 default camera target
+    # optional triangle soup (None => sphere-only scene, the reference's
+    # world; see tpu_ray.core.trimesh / BASELINE config 4)
+    tris: Triangles | None = None
     # static metadata (not traced)
     use_sky: bool = dataclasses.field(metadata=dict(static=True), default=False)
     n_real: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -321,15 +325,51 @@ def make_sixteen_scene(pad_to: int = SPHERE_PAD) -> Scene:
     )
 
 
+def make_trimesh_scene(pad_to: int = SPHERE_PAD,
+                       subdivisions: int = 4) -> Scene:
+    """~10k-triangle scene: two icospheres + ground quad, sky lit, plus one
+    glass sphere (mixed primitive types). BASELINE.json config 4.
+
+    subdivisions=4 -> 2 * 20*4^4 = 10240 mesh triangles + 2 ground = 10242.
+    """
+    s = float(WORLD_SCALE)
+    v1, f1 = icosphere(subdivisions)
+    v2, f2 = icosphere(subdivisions)
+    g = 40.0 * s
+    verts, faces, colors = merge([
+        (v1 * (1.5 * s) + np.array([-1.8 * s, 1.5 * s, 0.0], np.float32),
+         f1, (0.8, 0.35, 0.25)),
+        (v2 * (1.2 * s) + np.array([2.0 * s, 1.2 * s, -0.8 * s], np.float32),
+         f2, (0.3, 0.5, 0.85)),
+        (*quad((-g, 0, -g), (-g, 0, g), (g, 0, g), (g, 0, -g)),
+         (0.55, 0.55, 0.55)),
+    ])
+    tris = pack_triangles(verts, faces, colors)
+
+    b = _SceneBuilder()
+    b.add((0.0, 1.0, 2.5), 1.0, (1.0, 1.0, 1.0), ior=1.5)
+    scene = b.build(
+        look_at=np.array([0.0, 1.2 * s, 0.0], np.float32),
+        use_sky=True,
+        default_distance=10.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(5.0),
+        default_y_height=3.0 * WORLD_SCALE,
+        pad_to=pad_to,
+    )
+    return dataclasses.replace(scene, tris=tris)
+
+
 SCENE_BUILDERS: Dict[str, Callable[..., Scene]] = {
     "rgb": make_rgb_scene,            # reference scene 0
     "randomized": make_randomized_scene,  # reference scene 1
     "rtweekend": make_rtweekend_scene,    # reference scene 2
     "single": make_single_scene,          # BASELINE config 1
     "sixteen": make_sixteen_scene,        # BASELINE config 2
+    "trimesh": make_trimesh_scene,        # BASELINE config 4 (10k tris)
 }
 
-_SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend", "single", "sixteen"]
+_SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend", "single", "sixteen",
+                   "trimesh"]
 
 
 def make_scene(name_or_index, pad_to: int = SPHERE_PAD) -> Scene:

@@ -36,17 +36,36 @@ from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
 ProbeFn = Callable[[Scene, jax.Array, jax.Array], Payload]
 
 
+def _with_triangles(scene: Scene, origins, directions,
+                    sphere_payload: Payload) -> Payload:
+    """Combine the sphere payload with the triangle soup's nearest hit.
+
+    No-op for sphere-only scenes (scene.tris is None — a static property, so
+    the branch is resolved at trace time). Triangle ids are offset by the
+    sphere count into one global primitive id space.
+    """
+    if scene.tris is None:
+        return sphere_payload
+    from tpu_ray.ops.intersect_tri import (merge_payloads,
+                                           nearest_hit_tri_jnp, tri_payload)
+    hit = nearest_hit_tri_jnp(scene.tris, origins, directions)
+    tp = tri_payload(scene.tris, origins, directions, hit)
+    return merge_payloads(sphere_payload, tp, scene.n_pad)
+
+
 def probe_jnp(scene: Scene, origins, directions) -> Payload:
     """jnp-backend probe: brute-force search + payload recompute."""
     hit = nearest_hit_jnp(scene.center, scene.radius, origins, directions)
-    return hit_payload(scene, origins, directions, hit)
+    p = hit_payload(scene, origins, directions, hit)
+    return _with_triangles(scene, origins, directions, p)
 
 
 def probe_pallas(scene: Scene, origins, directions) -> Payload:
     """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
     hit = nearest_hit_pallas(scene.center, scene.radius, origins, directions)
-    return hit_payload(scene, origins, directions, hit)
+    p = hit_payload(scene, origins, directions, hit)
+    return _with_triangles(scene, origins, directions, p)
 
 
 def probe_fn_for_backend(backend: str) -> ProbeFn:
