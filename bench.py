@@ -87,8 +87,8 @@ def main():
         @jax.jit
         def step(scene, camera):
             def loss_fn(scene, camera):
-                img = render_mean(scene, camera, sample_start=0, remat=True,
-                                  **kw)
+                img = render_mean(scene, camera, sample_start=0,
+                                  remat="save_hits", **kw)
                 return image_mse(img, target)
             return jax.grad(loss_fn, argnums=(0, 1))(scene, camera)
 

@@ -158,12 +158,49 @@ def jnp_clip01(x):
     return min(max(float(x), 0.0), 1.0)
 
 
+def cmd_animate(args) -> int:
+    """Turntable orbit render: the offline equivalent of the reference's
+    interactive orbit camera (reference main.cpp:730-781) — one frame per
+    orbit angle, camera pose swept around the scene's look-at point."""
+    import os
+    import numpy as np
+    import jax
+    from tpu_ray import PathTracer, RenderConfig, make_scene, orbit_camera
+    from tpu_ray.utils import MetricsLogger, StepTimer, write_png
+
+    cfg = RenderConfig(scene=args.scene, width=args.width, height=args.height,
+                       spp=args.spp, max_bounces=args.max_bounces,
+                       backend=args.backend, seed=args.seed,
+                       ray_chunk=args.ray_chunk, shading=args.shading)
+    tracer = PathTracer(cfg)
+    scene = tracer.scene
+    os.makedirs(args.out_dir, exist_ok=True)
+    log = MetricsLogger(path=args.metrics)
+    for f in range(args.frames):
+        angle = scene.default_x_angle + 2.0 * np.pi * f / args.frames
+        camera = orbit_camera(scene.look_at, scene.default_distance,
+                              angle, scene.default_y_height)
+        state = tracer.init_state()
+
+        def frame():
+            s, rays = tracer.step(state, camera)
+            return s, rays
+
+        (state, rays), secs = StepTimer.timed(frame)
+        path = os.path.join(args.out_dir, f"frame_{f:04d}.png")
+        write_png(path, jax.device_get(tracer.srgb_image(state)))
+        log.log_pass(rays=int(rays), seconds=secs, frame=f)
+    print(f"wrote {args.frames} frames -> {args.out_dir}", file=sys.stderr)
+    return 0
+
+
 def cmd_scenes(args) -> int:
     from tpu_ray import SCENE_BUILDERS, make_scene
     for i, name in enumerate(SCENE_BUILDERS):
         s = make_scene(name)
+        tri = f", {s.tris.n_real} tris" if s.tris is not None else ""
         print(f"{i}: {name:12s} {s.n_real:4d} spheres "
-              f"(padded {s.n_pad}), sky={s.use_sky}")
+              f"(padded {s.n_pad}){tri}, sky={s.use_sky}")
     return 0
 
 
@@ -191,6 +228,11 @@ def main(argv=None) -> int:
     f.add_argument("--target-spp", type=int, default=4)
     f.add_argument("--out", default="fit.png")
 
+    a = sub.add_parser("animate", help="turntable orbit -> frame PNGs")
+    _add_common(a)
+    a.add_argument("--frames", type=int, default=12)
+    a.add_argument("--out-dir", default="frames")
+
     sub.add_parser("scenes", help="list built-in scenes")
     sub.add_parser("bench", help="run the headline benchmark (bench.py)")
 
@@ -199,6 +241,8 @@ def main(argv=None) -> int:
         return cmd_render(args)
     if args.cmd == "fit":
         return cmd_fit(args)
+    if args.cmd == "animate":
+        return cmd_animate(args)
     if args.cmd == "scenes":
         return cmd_scenes(args)
     if args.cmd == "bench":

@@ -36,6 +36,16 @@ from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
 ProbeFn = Callable[[Scene, jax.Array, jax.Array], Payload]
 
 
+def _name_hit(hit):
+    """Tag the search result for the 'save_hits' remat policy (below): the
+    O(R*N) search is forward-only (t is stop-gradient, idx integer), so
+    saving these two tiny arrays lets the backward pass DCE the entire
+    search recompute instead of rematerializing it."""
+    from jax.ad_checkpoint import checkpoint_name
+    return hit._replace(t=checkpoint_name(hit.t, "hit_t"),
+                        idx=checkpoint_name(hit.idx, "hit_idx"))
+
+
 def _with_triangles(scene: Scene, origins, directions,
                     sphere_payload: Payload) -> Payload:
     """Combine the sphere payload with the triangle soup's nearest hit.
@@ -48,14 +58,15 @@ def _with_triangles(scene: Scene, origins, directions,
         return sphere_payload
     from tpu_ray.ops.intersect_tri import (merge_payloads,
                                            nearest_hit_tri_jnp, tri_payload)
-    hit = nearest_hit_tri_jnp(scene.tris, origins, directions)
+    hit = _name_hit(nearest_hit_tri_jnp(scene.tris, origins, directions))
     tp = tri_payload(scene.tris, origins, directions, hit)
     return merge_payloads(sphere_payload, tp, scene.n_pad)
 
 
 def probe_jnp(scene: Scene, origins, directions) -> Payload:
     """jnp-backend probe: brute-force search + payload recompute."""
-    hit = nearest_hit_jnp(scene.center, scene.radius, origins, directions)
+    hit = _name_hit(nearest_hit_jnp(scene.center, scene.radius, origins,
+                                    directions))
     p = hit_payload(scene, origins, directions, hit)
     return _with_triangles(scene, origins, directions, p)
 
@@ -63,7 +74,8 @@ def probe_jnp(scene: Scene, origins, directions) -> Payload:
 def probe_pallas(scene: Scene, origins, directions) -> Payload:
     """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
-    hit = nearest_hit_pallas(scene.center, scene.radius, origins, directions)
+    hit = _name_hit(nearest_hit_pallas(scene.center, scene.radius, origins,
+                                       directions))
     p = hit_payload(scene, origins, directions, hit)
     return _with_triangles(scene, origins, directions, p)
 
@@ -164,6 +176,11 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     remat=True rematerializes the per-sample trace in the backward pass
     (recompute-instead-of-save, SURVEY.md §7 "Backward memory"): reverse-mode
     residuals drop from O(spp * bounces * R) to O(spp * R) carries.
+    remat="save_hits" additionally SAVES the per-bounce nearest-hit records
+    (t [R] f32 + idx [R] i32, tagged via _name_hit) so the backward pass
+    dead-code-eliminates the O(R*N) search recompute entirely — the
+    recompute-vs-save sweet spot: 8 bytes/ray/bounce buys back ~the full
+    search cost in the backward wall time.
     """
     n = pixel.shape[0]
     if shading == "path":
@@ -177,14 +194,24 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
             sc, o, d, pf, lights, light_data)
     else:
         raise ValueError(shading)
-    if remat:
-        trace = jax.checkpoint(trace, static_argnums=(4, 5, 6))
+    def sample_fn(scene, camera, pixel, s):
+        o, d, base = camera_rays(camera, width, height, pixel, s, seed)
+        return trace(scene, o, d, base, max_bounces, probe_fn, ray_chunk)
+
+    # The checkpoint boundary covers raygen too, so per-sample residuals are
+    # just the sample index (rays are recomputed in the backward); with
+    # "save_hits" the per-bounce (t, idx) hit records are additionally saved
+    # so the backward DCEs the O(R*N) search recompute.
+    if remat == "save_hits":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "hit_t", "hit_idx")
+        sample_fn = jax.checkpoint(sample_fn, policy=policy)
+    elif remat:
+        sample_fn = jax.checkpoint(sample_fn)
 
     def sample_body(carry, s):
         color_sum, rays = carry
-        o, d, base = camera_rays(camera, width, height, pixel, s, seed)
-        color, rc = trace(
-            scene, o, d, base, max_bounces, probe_fn, ray_chunk)
+        color, rc = sample_fn(scene, camera, pixel, s)
         return (color_sum + color, rays + jnp.sum(rc)), None
 
     init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.uint32))

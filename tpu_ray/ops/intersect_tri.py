@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from tpu_ray.core.scene import F32_EPS, F32_MAX
 from tpu_ray.core.trimesh import Triangles
-from tpu_ray.ops.intersect import Hit, Payload
+from tpu_ray.ops.intersect import Hit, Payload, gather_rows
 from tpu_ray.ops.vec import dot
 
 _DET_EPS = 1e-9
@@ -64,8 +64,8 @@ def tri_payload(tris: Triangles, origin, direction, hit: Hit) -> Payload:
     mat = jnp.concatenate([tris.albedo, tris.emissive,
                            tris.specular[:, None], tris.ior[:, None]],
                           axis=1)                                    # [M,8]
-    g = geo[idx]
-    m_ = mat[idx]
+    g = gather_rows(geo, idx)
+    m_ = gather_rows(mat, idx)
     v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
 
     pvec = jnp.cross(direction, e2)
