@@ -40,6 +40,47 @@ def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str) -> float:
     return peak / per_ray
 
 
+def bench_scaling(args, scene, camera, kw):
+    """Scaling efficiency: sharded forward rays/s on 1..n_devices meshes.
+
+    The BASELINE north-star target is >=85% efficiency 1 chip -> N; with one
+    real chip this mode measures the sharding machinery's overhead on
+    whatever devices exist (run with the virtual CPU platform for an 8-way
+    mesh; the driver's dryrun covers compile-correctness of the same path).
+    """
+    from tpu_ray.parallel import make_mesh, render_pass_sharded, shard_scene
+
+    n_dev = len(jax.devices())
+    results = {}
+    for n in [1, n_dev]:
+        if n in results:
+            continue
+        mesh = make_mesh((n,))
+        s = shard_scene(scene, mesh)
+        def step(s, camera):
+            return render_pass_sharded(s, camera, mesh=mesh, sample_start=0,
+                                       **kw)
+        img, rays = step(s, camera)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            img, rays = step(s, camera)
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / args.iters
+        results[n] = int(rays) / dt
+    eff = (results[n_dev] / n_dev) / results[1] if n_dev > 1 else 1.0
+    print(json.dumps({
+        "metric": f"scaling efficiency 1->{n_dev} devices "
+                  f"{args.width}x{args.height} {args.spp}spp {args.scene}",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "vs_baseline": round(eff / 0.85, 4),
+        "rays_per_s_1dev": round(results[1], 1),
+        f"rays_per_s_{n_dev}dev": round(results[n_dev], 1),
+    }))
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
@@ -47,7 +88,8 @@ def main():
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--scene", default="rtweekend")
     ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
-    ap.add_argument("--mode", default="fwd+bwd", choices=["fwd", "fwd+bwd"])
+    ap.add_argument("--mode", default="fwd+bwd",
+                    choices=["fwd", "fwd+bwd", "scaling"])
     ap.add_argument("--max-bounces", type=int, default=5)
     ap.add_argument("--ray-chunk", type=int, default=0,
                     help="rays per chunk (0 = auto)")
@@ -72,6 +114,9 @@ def main():
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               seed=0, max_bounces=args.max_bounces, backend=args.backend,
               ray_chunk=ray_chunk)
+
+    if args.mode == "scaling":
+        return bench_scaling(args, scene, camera, kw)
 
     # total rays cast (the reference's counter) from one forward pass
     _, rays = render_pass(scene, camera, sample_start=0, **kw)
