@@ -69,7 +69,14 @@ def bench_scaling(args, scene, camera, kw):
         dt = (time.perf_counter() - t0) / args.iters
         results[n] = int(rays) / dt
     eff = (results[n_dev] / n_dev) / results[1] if n_dev > 1 else 1.0
+    note = None
+    if jax.devices()[0].platform == "cpu":
+        note = ("virtual CPU devices share physical cores: per-device "
+                "efficiency is not meaningful, only the correctness of the "
+                "sharded path; run on a real multi-chip slice for the "
+                "true number")
     print(json.dumps({
+        **({"note": note} if note else {}),
         "metric": f"scaling efficiency 1->{n_dev} devices "
                   f"{args.width}x{args.height} {args.spp}spp {args.scene}",
         "value": round(eff, 4),
