@@ -99,3 +99,28 @@ def test_train_step_reduces_loss():
     for _ in range(25):
         state, loss = step_fn(state, target)
     assert float(loss) < 0.5 * float(loss0), (float(loss0), float(loss))
+
+
+def test_camera_pose_fit():
+    # BASELINE config 3: camera-pose gradients drive the pose back toward
+    # the target view (sixtyfour scene, perturbed orbit angle)
+    import optax
+    from tpu_ray import orbit_camera
+    scene = make_scene("sixtyfour")
+    cam_true = default_camera(scene)
+    target = render_mean(scene, cam_true, **KW)
+
+    cam0 = orbit_camera(scene.look_at, scene.default_distance,
+                        scene.default_x_angle + 0.03,
+                        scene.default_y_height)
+    init_fn, step_fn = make_train_step(width=W, height=H, spp=1,
+                                       fixed_samples=True, train_camera=True,
+                                       train_scene=False,
+                                       optimizer=optax.adam(1e-3))
+    state = init_fn(scene, cam0)
+    state, loss0 = step_fn(state, target)
+    best = float(loss0)
+    for _ in range(30):
+        state, loss = step_fn(state, target)
+        best = min(best, float(loss))
+    assert best < 0.8 * float(loss0), (float(loss0), best)

@@ -325,6 +325,41 @@ def make_sixteen_scene(pad_to: int = SPHERE_PAD) -> Scene:
     )
 
 
+def make_sixtyfour_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """64 spheres: ground + 3 lights + 60 in two deterministic rings.
+
+    BASELINE.json config 3's scene (camera-pose + material gradients at
+    1024x1024 16spp). Deterministic layout, 3 emissive lights, sky ON —
+    the sky gradient gives radiance a smooth dependence on ray direction,
+    which is what makes camera-pose gradients non-degenerate (in a purely
+    emissive closed scene the pixel integrand is piecewise constant in
+    pose and gradients vanish a.e.).
+    """
+    b = _SceneBuilder()
+    b.add((0.0, -256.0, 0.0), 256.0, (0.5, 0.5, 0.5))
+    b.add((0.0, 7.0, 0.0), 1.2, (1.0, 1.0, 1.0), emissive=(10.0, 10.0, 9.0))
+    b.add((6.0, 5.0, 6.0), 0.8, (1.0, 1.0, 1.0), emissive=(8.0, 3.0, 1.0))
+    b.add((-6.0, 5.0, -6.0), 0.8, (1.0, 1.0, 1.0), emissive=(1.0, 3.0, 8.0))
+    for ring, (rad, n, y, size) in enumerate([(4.0, 24, 0.8, 0.8),
+                                              (7.5, 36, 0.6, 0.6)]):
+        for k in range(n):
+            ang = 2.0 * float(PI32) * k / n + ring * 0.3
+            c = ((k * 7) % n) / float(n)
+            b.add((rad * math.cos(ang), y, rad * math.sin(ang)), size,
+                  (0.25 + 0.7 * c, 0.25 + 0.7 * abs(0.5 - c) * 2.0,
+                   0.95 - 0.7 * c),
+                  specular=0.85 if k % 5 == 0 else 0.0,
+                  ior=1.5 if k % 11 == 3 else 0.0)
+    return b.build(
+        look_at=(0.0, 0.5 * float(WORLD_SCALE), 0.0),
+        use_sky=True,
+        default_distance=18.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(4.0),
+        default_y_height=6.0 * WORLD_SCALE,
+        pad_to=pad_to,
+    )
+
+
 def make_trimesh_scene(pad_to: int = SPHERE_PAD,
                        subdivisions: int = 4) -> Scene:
     """~10k-triangle scene: two icospheres + ground quad, sky lit, plus one
@@ -365,11 +400,12 @@ SCENE_BUILDERS: Dict[str, Callable[..., Scene]] = {
     "rtweekend": make_rtweekend_scene,    # reference scene 2
     "single": make_single_scene,          # BASELINE config 1
     "sixteen": make_sixteen_scene,        # BASELINE config 2
+    "sixtyfour": make_sixtyfour_scene,    # BASELINE config 3
     "trimesh": make_trimesh_scene,        # BASELINE config 4 (10k tris)
 }
 
 _SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend", "single", "sixteen",
-                   "trimesh"]
+                   "sixtyfour", "trimesh"]
 
 
 def make_scene(name_or_index, pad_to: int = SPHERE_PAD) -> Scene:

@@ -37,7 +37,8 @@ def make_train_step(*, width: int, height: int, spp: int, seed: int = 0,
                     ray_chunk: Optional[int] = None,
                     mesh: Optional[Mesh] = None,
                     optimizer: Optional[optax.GradientTransformation] = None,
-                    train_camera: bool = True, remat: bool = False,
+                    train_camera: bool = True, train_scene: bool = True,
+                    remat: bool = False,
                     fixed_samples: bool = False):
     """-> (init_fn(scene, camera) -> TrainState,
            step_fn(state, target) -> (TrainState, loss)).
@@ -83,6 +84,9 @@ def make_train_step(*, width: int, height: int, spp: int, seed: int = 0,
         if not train_camera:
             grads["camera"] = jax.tree_util.tree_map(
                 jnp.zeros_like, grads["camera"])
+        if not train_scene:
+            grads["scene"] = jax.tree_util.tree_map(
+                jnp.zeros_like, grads["scene"])
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return TrainState(scene=new_params["scene"],

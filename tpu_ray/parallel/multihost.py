@@ -1,0 +1,51 @@
+"""Multi-host initialization (the WorkQueueCreate analogue across hosts).
+
+The reference spawns worker threads once at startup (WorkQueueCreate,
+reference wasm/wasm.cpp:651-666); the multi-host TPU equivalent is
+`jax.distributed.initialize` + a mesh spanning every process's local
+devices (SURVEY.md §5.8). Single-process (including the 1-chip tunnel and
+the virtual CPU platform) needs no initialization — `ensure_initialized`
+is a no-op there, so the same entry points run everywhere.
+
+Typical pod-slice usage (same script on every host):
+
+    from tpu_ray.parallel import make_mesh
+    from tpu_ray.parallel.multihost import ensure_initialized
+    ensure_initialized()                  # no-op off-pod
+    mesh = make_mesh()                    # all global devices, "rays" axis
+    img, rays = render_pass_sharded(scene, camera, mesh=mesh, ...)
+
+Every collective in tpu_ray.parallel rides ICI within a slice and DCN
+across hosts automatically; nothing else is host-aware.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def ensure_initialized(coordinator_address: Optional[str] = None,
+                       num_processes: Optional[int] = None,
+                       process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed when running multi-process; else no-op.
+
+    Returns True iff distributed mode is active. Auto-detects TPU pod
+    environments (JAX reads the TPU metadata) when no arguments are given;
+    explicit args or JAX_COORDINATOR_ADDRESS force initialization.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    explicit = coordinator_address is not None
+    in_pod = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+    if not (explicit or in_pod):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
