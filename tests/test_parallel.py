@@ -49,3 +49,10 @@ def test_scene_sharded_over_spheres(single):
     # per-sphere arrays are split 4 ways over the sphere axis
     shard_shapes = {sh.data.shape for sh in s.center.addressable_shards}
     assert shard_shapes == {(scene.n_pad // 4, 3)}
+
+
+def test_multihost_noop_single_process():
+    from tpu_ray.parallel.multihost import ensure_initialized
+    # single process, no coordinator env -> no-op
+    assert ensure_initialized() is False
+    assert jax.process_count() == 1

@@ -73,3 +73,15 @@ def test_metrics_logger():
     assert rec["rays_per_s"] == 2_000_000.0
     line = json.loads(buf.getvalue().strip())
     assert line["rays_cast"] == 1_000_000 and line["render_pass"] == 3
+
+
+def test_checkpoint_roundtrip_with_triangles(tmp_path):
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    state = AccumState.zeros(4, 4)
+    path = str(tmp_path / "t.npz")
+    save_checkpoint(path, state, scene, cam)
+    _, sc2, _, _, _ = load_checkpoint(path)
+    assert sc2.tris is not None and sc2.tris.n_real == scene.tris.n_real
+    np.testing.assert_array_equal(np.asarray(sc2.tris.v0),
+                                  np.asarray(scene.tris.v0))

@@ -20,12 +20,14 @@ import numpy as np
 from tpu_ray.config import RenderConfig
 from tpu_ray.core.camera import Camera
 from tpu_ray.core.scene import Scene
+from tpu_ray.core.trimesh import Triangles
 from tpu_ray.ops.accumulate import AccumState
 
 _SCENE_FIELDS = ("center", "radius", "albedo", "emissive", "specular", "ior",
                  "look_at")
 _SCENE_STATIC = ("use_sky", "n_real", "default_distance", "default_x_angle",
                  "default_y_height")
+_TRI_FIELDS = ("v0", "e1", "e2", "albedo", "emissive", "specular", "ior")
 
 
 def save_checkpoint(path: str, state: AccumState, scene: Scene,
@@ -41,6 +43,10 @@ def save_checkpoint(path: str, state: AccumState, scene: Scene,
     for f in _SCENE_FIELDS:
         arrays[f"scene_{f}"] = np.asarray(getattr(scene, f))
     meta = {f: getattr(scene, f) for f in _SCENE_STATIC}
+    if scene.tris is not None:
+        for f in _TRI_FIELDS:
+            arrays[f"tri_{f}"] = np.asarray(getattr(scene.tris, f))
+        meta["tri_n_real"] = scene.tris.n_real
     if config is not None:
         meta["config"] = dataclasses.asdict(config)
     arrays["meta_json"] = np.frombuffer(
@@ -60,8 +66,16 @@ def load_checkpoint(path: str
         if cfg_dict.get("mesh_shape") is not None:
             cfg_dict["mesh_shape"] = tuple(cfg_dict["mesh_shape"])
         config = RenderConfig(**cfg_dict)
+    tris = None
+    tri_n_real = meta.pop("tri_n_real", None)
+    if tri_n_real is not None:
+        tris = Triangles(
+            **{f: jnp.asarray(z[f"tri_{f}"]) for f in _TRI_FIELDS},
+            n_real=int(tri_n_real),
+        )
     scene = Scene(
         **{f: jnp.asarray(z[f"scene_{f}"]) for f in _SCENE_FIELDS},
+        tris=tris,
         **meta,
     )
     camera = Camera(position=jnp.asarray(z["camera_position"]),
