@@ -37,11 +37,11 @@ def ensure_initialized(coordinator_address: Optional[str] = None,
     """
     if jax.process_count() > 1:
         return True  # already initialized
+    # explicit opt-in only: pod-env sniffing misfires on single-chip
+    # tunnels that still carry TPU_* variables
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    explicit = coordinator_address is not None
-    in_pod = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
-    if not (explicit or in_pod):
+    if coordinator_address is None and num_processes is None:
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
