@@ -24,8 +24,10 @@ def _add_common(ap: argparse.ArgumentParser):
     ap.add_argument("--spp", type=int, default=1,
                     help="samples per pixel per pass")
     ap.add_argument("--max-bounces", type=int, default=5)
-    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"],
-                    help="intersection backend (the EnableSIMD analogue)")
+    ap.add_argument("--backend", default="jnp",
+                    choices=["jnp", "pallas", "fused"],
+                    help="compute backend (the EnableSIMD analogue); "
+                         "fused = single-kernel bounce (forward only)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ray-chunk", type=int, default=None)
     ap.add_argument("--shading", default="path",

@@ -20,7 +20,7 @@ class RenderConfig:
     height: int = 540
     spp: int = 1                      # samples per render pass
     max_bounces: int = 5              # reference main.cpp:387
-    backend: str = "jnp"              # 'jnp' | 'pallas'  (EnableSIMD analogue)
+    backend: str = "jnp"              # 'jnp' | 'pallas' | 'fused' 
     seed: int = 0
     shading: str = "path"             # 'path' | 'flat' | 'lambert_shadow'
     ray_chunk: Optional[int] = None   # split the ray wavefront to bound memory
@@ -28,7 +28,7 @@ class RenderConfig:
     mesh_shape: Tuple[int, ...] = ()  # () = single chip; else data-parallel mesh
 
     def __post_init__(self):
-        assert self.backend in ("jnp", "pallas"), self.backend
+        assert self.backend in ("jnp", "pallas", "fused"), self.backend
         assert self.shading in ("path", "flat", "lambert_shadow"), self.shading
         if self.ray_chunk is not None:
             assert (self.width * self.height) % self.ray_chunk == 0, (

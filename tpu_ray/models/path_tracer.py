@@ -81,11 +81,30 @@ def probe_pallas(scene: Scene, origins, directions) -> Payload:
 
 
 def probe_fn_for_backend(backend: str) -> ProbeFn:
-    if backend == "jnp":
+    if backend in ("jnp", "fused"):  # fused uses jnp probes off the hot path
         return probe_jnp
     if backend == "pallas":
         return probe_pallas
     raise ValueError(backend)
+
+
+def tile_order(width: int, height: int, tile: int = 32):
+    """Flat pixel indices permuted to 32x32-tile-major order + inverse.
+
+    The reference's tile decomposition (main.cpp:824-838) resurrected for a
+    different reason: consecutive rays in the wavefront stay spatially
+    coherent, so whole ray blocks of the fused kernel die together (sky
+    tiles at bounce 1) and its dead-block skip actually fires.
+    """
+    import numpy as np
+    idx = np.arange(width * height, dtype=np.int32).reshape(height, width)
+    order = []
+    for ty in range(0, height, tile):
+        for tx in range(0, width, tile):
+            order.append(idx[ty:ty + tile, tx:tx + tile].reshape(-1))
+    perm = np.concatenate(order)
+    inv = np.argsort(perm).astype(np.int32)
+    return perm, inv
 
 
 def trace_rays(scene: Scene, origins, directions, stream_base,
@@ -165,7 +184,7 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
                   max_bounces: int = 5, probe_fn: ProbeFn = probe_jnp,
                   ray_chunk: Optional[int] = None, remat: bool = False,
                   shading: str = "path", lights: tuple = (),
-                  light_data=None):
+                  light_data=None, backend_is_fused: bool = False):
     """`spp` jittered samples for an arbitrary flat pixel subset.
 
     pixel [R] i32 flat indices (row-major). -> (color_sum [R,3] linear
@@ -183,7 +202,11 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     search cost in the backward wall time.
     """
     n = pixel.shape[0]
-    if shading == "path":
+    if shading == "path" and backend_is_fused:
+        from tpu_ray.kernels.bounce_step import trace_rays_fused
+        trace = lambda sc, o, d, b, mb, pf, rc: trace_rays_fused(
+            sc, o, d, b, mb)
+    elif shading == "path":
         trace = _trace_maybe_chunked
     elif shading == "flat":
         from tpu_ray.ops.shading_modes import trace_flat
@@ -236,12 +259,22 @@ def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
     'flat', or 'lambert_shadow' (needs static `lights` indices — see
     ops/shading_modes.scene_light_indices).
     """
-    pixel = jnp.arange(width * height, dtype=jnp.int32)
+    fused = backend == "fused"
+    if fused:
+        # tile-major ray order makes the fused kernel dead-block skip
+        # effective; unpermute once per pass (one gather per pass, not
+        # per sample)
+        perm, inv = tile_order(width, height)
+        pixel = jnp.asarray(perm)
+    else:
+        pixel = jnp.arange(width * height, dtype=jnp.int32)
     color_sum, rays = render_pixels(
         scene, camera, pixel, width=width, height=height, spp=spp,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
-        shading=shading, lights=lights)
+        shading=shading, lights=lights, backend_is_fused=fused)
+    if fused:
+        color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3), rays
 
 
