@@ -84,6 +84,7 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     if sphere_sharded:
         n_sph = mesh.shape[SPHERE_AXIS]
         assert scene.n_pad % n_sph == 0, (scene.n_pad, n_sph)
+        assert backend != "fused", "fused backend needs the full sphere axis"
         probe = partial(probe_sphere_sharded, axis=SPHERE_AXIS)
     else:
         probe = probe_fn_for_backend(backend)
@@ -100,7 +101,8 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
             scene_local, camera, pixel_local, width=width, height=height,
             spp=spp, sample_start=sample_start, seed=seed,
             max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk,
-            shading=shading, lights=lights, light_data=light_data)
+            shading=shading, lights=lights, light_data=light_data,
+            backend_is_fused=(backend == "fused"))
         # rays-cast stat: identical on every sphere shard (the bounce loop is
         # redundantly computed there), so reduce over the ray axis only.
         rays = jax.lax.psum(rays, RAY_AXIS)
