@@ -24,7 +24,8 @@ from tpu_ray.core import rng
 from tpu_ray.core.camera import Camera, default_camera
 from tpu_ray.core.scene import Scene, make_scene
 from tpu_ray.ops.accumulate import AccumState, accumulate
-from tpu_ray.ops.intersect import Payload, hit_payload, nearest_hit_jnp
+from tpu_ray.ops.intersect import (Payload, hit_payload, nearest_hit_jnp,
+                                   payload_tables)
 from tpu_ray.ops.raygen import camera_rays
 from tpu_ray.ops.shade import scatter_direction, sky_color
 from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
@@ -63,20 +64,20 @@ def _with_triangles(scene: Scene, origins, directions,
     return merge_payloads(sphere_payload, tp, scene.n_pad)
 
 
-def probe_jnp(scene: Scene, origins, directions) -> Payload:
+def probe_jnp(scene: Scene, origins, directions, tables=None) -> Payload:
     """jnp-backend probe: brute-force search + payload recompute."""
     hit = _name_hit(nearest_hit_jnp(scene.center, scene.radius, origins,
                                     directions))
-    p = hit_payload(scene, origins, directions, hit)
+    p = hit_payload(scene, origins, directions, hit, tables=tables)
     return _with_triangles(scene, origins, directions, p)
 
 
-def probe_pallas(scene: Scene, origins, directions) -> Payload:
+def probe_pallas(scene: Scene, origins, directions, tables=None) -> Payload:
     """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
     hit = _name_hit(nearest_hit_pallas(scene.center, scene.radius, origins,
                                        directions))
-    p = hit_payload(scene, origins, directions, hit)
+    p = hit_payload(scene, origins, directions, hit, tables=tables)
     return _with_triangles(scene, origins, directions, p)
 
 
@@ -202,6 +203,11 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     search cost in the backward wall time.
     """
     n = pixel.shape[0]
+    # hoist the payload gather tables out of every scan below
+    if probe_fn in (probe_jnp, probe_pallas):
+        tables = payload_tables(scene)
+        base_probe = probe_fn
+        probe_fn = lambda sc, o, d: base_probe(sc, o, d, tables=tables)
     if shading == "path" and backend_is_fused:
         from tpu_ray.kernels.bounce_step import trace_rays_fused
         trace = lambda sc, o, d, b, mb, pf, rc: trace_rays_fused(

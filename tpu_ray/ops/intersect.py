@@ -105,7 +105,19 @@ class Payload(NamedTuple):
     ior: jax.Array          # [R]
 
 
-def hit_payload(scene: Scene, origin, direction, hit: Hit) -> Payload:
+def payload_tables(scene: Scene):
+    """([N,4] geometry, [N,8] material) gather tables; build ONCE per render
+    call (outside the bounce/sample scans) and pass to hit_payload so the
+    concat + HBM->VMEM staging doesn't repeat per loop iteration."""
+    geo = jnp.concatenate([scene.center, scene.radius[:, None]], axis=1)
+    mat = jnp.concatenate([scene.albedo, scene.emissive,
+                           scene.specular[:, None], scene.ior[:, None]],
+                          axis=1)
+    return geo, mat
+
+
+def hit_payload(scene: Scene, origin, direction, hit: Hit,
+                tables=None) -> Payload:
     """Recompute differentiable hit attributes from the winning sphere.
 
     O(R) gathers + arithmetic; this is the ONLY path gradients flow through
@@ -120,10 +132,7 @@ def hit_payload(scene: Scene, origin, direction, hit: Hit) -> Payload:
     transpose (slice) unchanged.
     """
     idx = jax.lax.stop_gradient(hit.idx)
-    geo = jnp.concatenate([scene.center, scene.radius[:, None]], axis=1)
-    mat = jnp.concatenate([scene.albedo, scene.emissive,
-                           scene.specular[:, None], scene.ior[:, None]],
-                          axis=1)
+    geo, mat = payload_tables(scene) if tables is None else tables
     g = gather_rows(geo, idx)      # [R,4]
     m_ = gather_rows(mat, idx)     # [R,8]
     c = g[:, 0:3]                  # [R,3]
