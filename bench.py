@@ -115,9 +115,9 @@ def main():
     ray_chunk = args.ray_chunk or None
     if ray_chunk is None and n * scene.n_pad > (1 << 28):
         # keep the fused [chunk, n_pad] intersection tile ~128 MB
-        ray_chunk = next(c for c in (129600, 86400, 43200, 28800, 14400,
-                                     7200, 3600)
-                         if n % c == 0)
+        ray_chunk = next((c for c in (129600, 86400, 43200, 28800, 14400,
+                                      7200, 3600)
+                          if n % c == 0), None)  # None: run unchunked
 
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               seed=0, max_bounces=args.max_bounces, backend=args.backend,

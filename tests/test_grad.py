@@ -40,7 +40,6 @@ def test_material_grads_match_finite_difference(rtw):
     for idx in [0, 2]:
         basis = np.zeros_like(np.asarray(scene.albedo))
         basis[idx, 0] = 1.0
-        up = scene.replace_albedo if False else None  # keep dataclass frozen
         import dataclasses
         sp = dataclasses.replace(scene, albedo=scene.albedo + eps * basis)
         sm = dataclasses.replace(scene, albedo=scene.albedo - eps * basis)

@@ -145,6 +145,7 @@ def cmd_fit(args) -> int:
     state = init_fn(perturbed, camera)
 
     log = MetricsLogger(path=args.metrics)
+    loss = float("nan")
     for i in range(args.steps):
         (state, loss), secs = StepTimer.timed(step_fn, state, target)
         log.log(fit_step=i, loss=float(loss), seconds=round(secs, 4))
@@ -207,8 +208,16 @@ def cmd_scenes(args) -> int:
 
 
 def cmd_bench(args, extra) -> int:
+    import os
     import subprocess
-    return subprocess.call([sys.executable, "bench.py", *extra])
+    import tpu_ray
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(tpu_ray.__file__))), "bench.py")
+    if not os.path.exists(bench):
+        print("error: bench.py not found (run from a repo checkout)",
+              file=sys.stderr)
+        return 2
+    return subprocess.call([sys.executable, bench, *extra])
 
 
 def main(argv=None) -> int:
@@ -239,6 +248,8 @@ def main(argv=None) -> int:
     sub.add_parser("bench", help="run the headline benchmark (bench.py)")
 
     args, extra = ap.parse_known_args(argv)
+    if extra and args.cmd != "bench":
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
     if args.cmd == "render":
         return cmd_render(args)
     if args.cmd == "fit":

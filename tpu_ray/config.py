@@ -10,7 +10,7 @@ is XLA's job; across chips it's the mesh (tpu_ray.parallel).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -25,7 +25,6 @@ class RenderConfig:
     shading: str = "path"             # 'path' | 'flat' | 'lambert_shadow'
     ray_chunk: Optional[int] = None   # split the ray wavefront to bound memory
     exact_srgb: bool = False          # reference ships the sqrt approximation
-    mesh_shape: Tuple[int, ...] = ()  # () = single chip; else data-parallel mesh
 
     def __post_init__(self):
         assert self.backend in ("jnp", "pallas", "fused"), self.backend

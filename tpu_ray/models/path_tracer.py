@@ -48,7 +48,7 @@ def _name_hit(hit):
 
 
 def _with_triangles(scene: Scene, origins, directions,
-                    sphere_payload: Payload) -> Payload:
+                    sphere_payload: Payload, tri_tables=None) -> Payload:
     """Combine the sphere payload with the triangle soup's nearest hit.
 
     No-op for sphere-only scenes (scene.tris is None — a static property, so
@@ -60,25 +60,29 @@ def _with_triangles(scene: Scene, origins, directions,
     from tpu_ray.ops.intersect_tri import (merge_payloads,
                                            nearest_hit_tri_jnp, tri_payload)
     hit = _name_hit(nearest_hit_tri_jnp(scene.tris, origins, directions))
-    tp = tri_payload(scene.tris, origins, directions, hit)
+    tp = tri_payload(scene.tris, origins, directions, hit, tables=tri_tables)
     return merge_payloads(sphere_payload, tp, scene.n_pad)
 
 
-def probe_jnp(scene: Scene, origins, directions, tables=None) -> Payload:
+def probe_jnp(scene: Scene, origins, directions, tables=None,
+              tri_tables=None) -> Payload:
     """jnp-backend probe: brute-force search + payload recompute."""
     hit = _name_hit(nearest_hit_jnp(scene.center, scene.radius, origins,
                                     directions))
     p = hit_payload(scene, origins, directions, hit, tables=tables)
-    return _with_triangles(scene, origins, directions, p)
+    return _with_triangles(scene, origins, directions, p,
+                           tri_tables=tri_tables)
 
 
-def probe_pallas(scene: Scene, origins, directions, tables=None) -> Payload:
+def probe_pallas(scene: Scene, origins, directions, tables=None,
+                 tri_tables=None) -> Payload:
     """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
     hit = _name_hit(nearest_hit_pallas(scene.center, scene.radius, origins,
                                        directions))
     p = hit_payload(scene, origins, directions, hit, tables=tables)
-    return _with_triangles(scene, origins, directions, p)
+    return _with_triangles(scene, origins, directions, p,
+                           tri_tables=tri_tables)
 
 
 def probe_fn_for_backend(backend: str) -> ProbeFn:
@@ -206,8 +210,13 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     # hoist the payload gather tables out of every scan below
     if probe_fn in (probe_jnp, probe_pallas):
         tables = payload_tables(scene)
+        tri_tables = None
+        if scene.tris is not None:
+            from tpu_ray.ops.intersect_tri import tri_payload_tables
+            tri_tables = tri_payload_tables(scene.tris)
         base_probe = probe_fn
-        probe_fn = lambda sc, o, d: base_probe(sc, o, d, tables=tables)
+        probe_fn = lambda sc, o, d: base_probe(sc, o, d, tables=tables,
+                                               tri_tables=tri_tables)
     if shading == "path" and backend_is_fused:
         from tpu_ray.kernels.bounce_step import trace_rays_fused
         trace = lambda sc, o, d, b, mb, pf, rc: trace_rays_fused(

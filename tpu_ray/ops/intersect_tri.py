@@ -57,13 +57,21 @@ def nearest_hit_tri_jnp(tris: Triangles, origin, direction) -> Hit:
     return Hit(t=jax.lax.stop_gradient(tmin), idx=idx)
 
 
-def tri_payload(tris: Triangles, origin, direction, hit: Hit) -> Payload:
-    """Differentiable payload recompute from the winning triangle (O(R))."""
-    idx = jax.lax.stop_gradient(hit.idx)
-    geo = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)       # [M,9]
+def tri_payload_tables(tris: Triangles):
+    """([M,9] v0|e1|e2, [M,8] material) gather tables; build once per render
+    call (same loop-invariant-hoisting rationale as intersect.payload_tables)."""
+    geo = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)
     mat = jnp.concatenate([tris.albedo, tris.emissive,
                            tris.specular[:, None], tris.ior[:, None]],
-                          axis=1)                                    # [M,8]
+                          axis=1)
+    return geo, mat
+
+
+def tri_payload(tris: Triangles, origin, direction, hit: Hit,
+                tables=None) -> Payload:
+    """Differentiable payload recompute from the winning triangle (O(R))."""
+    idx = jax.lax.stop_gradient(hit.idx)
+    geo, mat = tri_payload_tables(tris) if tables is None else tables
     g = gather_rows(geo, idx)
     m_ = gather_rows(mat, idx)
     v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]

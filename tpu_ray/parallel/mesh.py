@@ -40,20 +40,19 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
 def scene_pspec(scene: Scene, sphere_axis: Optional[str]) -> Scene:
     """PartitionSpec pytree matching `scene`'s structure.
 
-    Per-sphere arrays (leading dim == n_pad) shard over `sphere_axis` (or
-    replicate when None); everything else (look_at) replicates. The scene is
+    The six per-sphere arrays shard over `sphere_axis` (or replicate when
+    None); everything else (look_at, triangle soup) replicates. The scene is
     tiny, so full replication is the default — sphere sharding exists for the
     huge-scene regime (SURVEY.md §5.7).
     """
-    n_pad = scene.n_pad
-
-    def spec(leaf):
-        if sphere_axis and hasattr(leaf, "shape") and leaf.ndim >= 1 \
-                and leaf.shape[0] == n_pad:
-            return P(sphere_axis)
-        return P()
-
-    return jax.tree_util.tree_map(spec, scene)
+    # explicit by field name (NOT by leading-dim shape matching, which would
+    # mis-shard a triangle array whose padded length collides with n_pad)
+    sharded = P(sphere_axis) if sphere_axis else P()
+    replicated = jax.tree_util.tree_map(lambda _: P(), scene)
+    return dataclasses.replace(
+        replicated,
+        **{f: sharded for f in ("center", "radius", "albedo", "emissive",
+                                "specular", "ior")})
 
 
 def shard_scene(scene: Scene, mesh: Mesh) -> Scene:

@@ -85,12 +85,24 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
         n_sph = mesh.shape[SPHERE_AXIS]
         assert scene.n_pad % n_sph == 0, (scene.n_pad, n_sph)
         assert backend != "fused", "fused backend needs the full sphere axis"
+        assert scene.tris is None, (
+            "sphere-axis sharding does not intersect triangle soups yet; "
+            "use a 1D ('rays',) mesh for trimesh scenes")
         probe = partial(probe_sphere_sharded, axis=SPHERE_AXIS)
     else:
         probe = probe_fn_for_backend(backend)
 
     scene_specs = scene_pspec(scene, SPHERE_AXIS if sphere_sharded else None)
-    pixel = jnp.arange(n, dtype=jnp.int32)
+    if backend == "fused":
+        # tile-major order so the fused kernel's dead-block skip fires
+        # (same rationale as the single-chip path); one inverse gather per
+        # pass on the sharded output
+        from tpu_ray.models.path_tracer import tile_order
+        perm, inv = tile_order(width, height)
+        pixel = jnp.asarray(perm)
+    else:
+        inv = None
+        pixel = jnp.arange(n, dtype=jnp.int32)
     # light data from the GLOBAL scene, replicated into every shard (a
     # sphere shard may not own the light's row)
     from tpu_ray.ops.shading_modes import scene_light_data
@@ -116,4 +128,6 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
         check_vma=False,
     )(scene, camera, pixel, jnp.asarray(sample_start, jnp.uint32),
       light_data)
+    if inv is not None:
+        color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3), rays

@@ -51,20 +51,22 @@ def save_checkpoint(path: str, state: AccumState, scene: Scene,
         meta["config"] = dataclasses.asdict(config)
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(path, **arrays)  # appends .npz if missing
 
 
 def load_checkpoint(path: str
                     ) -> Tuple[AccumState, Scene, Camera,
                                Optional[RenderConfig], int]:
     """-> (accum_state, scene, camera, config | None, total_rays)."""
+    import os
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"  # np.savez_compressed appended the suffix
     z = np.load(path)
     meta = json.loads(bytes(z["meta_json"]).decode())
     cfg_dict = meta.pop("config", None)
     config = None
     if cfg_dict is not None:
-        if cfg_dict.get("mesh_shape") is not None:
-            cfg_dict["mesh_shape"] = tuple(cfg_dict["mesh_shape"])
+        cfg_dict.pop("mesh_shape", None)  # removed field (old checkpoints)
         config = RenderConfig(**cfg_dict)
     tris = None
     tri_n_real = meta.pop("tri_n_real", None)
