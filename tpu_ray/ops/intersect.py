@@ -117,7 +117,7 @@ def payload_tables(scene: Scene):
 
 
 def hit_payload(scene: Scene, origin, direction, hit: Hit,
-                tables=None) -> Payload:
+                tables=None, hit_mask=None) -> Payload:
     """Recompute differentiable hit attributes from the winning sphere.
 
     O(R) gathers + arithmetic; this is the ONLY path gradients flow through
@@ -152,7 +152,7 @@ def hit_payload(scene: Scene, origin, direction, hit: Hit,
     normal_raw = point - m                 # = hit point - center
 
     return Payload(
-        hit=hit.t < F32_MAX,
+        hit=(hit.t < F32_MAX) if hit_mask is None else hit_mask,
         idx=idx,
         t=t,
         next_origin=next_origin,

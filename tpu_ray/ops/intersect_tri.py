@@ -68,7 +68,7 @@ def tri_payload_tables(tris: Triangles):
 
 
 def tri_payload(tris: Triangles, origin, direction, hit: Hit,
-                tables=None) -> Payload:
+                tables=None, hit_mask=None) -> Payload:
     """Differentiable payload recompute from the winning triangle (O(R))."""
     idx = jax.lax.stop_gradient(hit.idx)
     geo, mat = tri_payload_tables(tris) if tables is None else tables
@@ -90,7 +90,7 @@ def tri_payload(tris: Triangles, origin, direction, hit: Hit,
     next_origin = origin + direction * t[..., None]
 
     return Payload(
-        hit=hit.t < F32_MAX,
+        hit=(hit.t < F32_MAX) if hit_mask is None else hit_mask,
         idx=idx,
         t=t,
         next_origin=next_origin,
