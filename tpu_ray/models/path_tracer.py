@@ -122,11 +122,15 @@ def tile_order(width: int, height: int, tile: int = 32):
 
 
 def trace_rays(scene: Scene, origins, directions, stream_base,
-               max_bounces: int, probe_fn: ProbeFn):
+               max_bounces: int, probe_fn: ProbeFn, bounce_policy=None):
     """Trace a flat ray wavefront to completion.
 
     -> (color [R,3] linear radiance, rays_cast [R] u32).
     Bounce loop = reference main.cpp:388-482 with alive-masking.
+    bounce_policy: optional jax.checkpoint policy applied PER BOUNCE so the
+    reverse sweep recomputes each bounce's shading chain instead of saving
+    stacked [bounces, R, 3] intermediates (pairs with 'save_hits': the
+    recompute is cheap because the search is DCE'd).
     """
 
     def bounce(carry, b):
@@ -169,21 +173,26 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
     )
     # scan (not fori_loop) so the bounce loop is reverse-differentiable for
     # the inverse-rendering path (tpu_ray.grad); identical forward ops.
+    if bounce_policy is not None:
+        bounce = jax.checkpoint(bounce, policy=bounce_policy)
     (_, _, _, color, _, rays_cast), _ = jax.lax.scan(
         bounce, init, jnp.arange(max_bounces, dtype=jnp.uint32))
     return color, rays_cast
 
 
 def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
-                         probe_fn, ray_chunk: Optional[int]):
+                         probe_fn, ray_chunk: Optional[int],
+                         bounce_policy=None):
     if ray_chunk is None:
-        return trace_rays(scene, origins, directions, base, max_bounces, probe_fn)
+        return trace_rays(scene, origins, directions, base, max_bounces,
+                          probe_fn, bounce_policy)
     n = origins.shape[0]
     k = n // ray_chunk
 
     def one(args):
         o, d, bs = args
-        return trace_rays(scene, o, d, bs, max_bounces, probe_fn)
+        return trace_rays(scene, o, d, bs, max_bounces, probe_fn,
+                          bounce_policy)
 
     color, rays = jax.lax.map(one, (
         origins.reshape(k, ray_chunk, 3),
@@ -226,12 +235,17 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         base_probe = probe_fn
         probe_fn = lambda sc, o, d: base_probe(sc, o, d, tables=tables,
                                                tri_tables=tri_tables)
+    bounce_policy = None
+    if remat == "save_hits_bounce":
+        bounce_policy = jax.checkpoint_policies.save_only_these_names(
+            "hit_mask", "hit_idx")
     if shading == "path" and backend_is_fused:
         from tpu_ray.kernels.bounce_step import trace_rays_fused
         trace = lambda sc, o, d, b, mb, pf, rc: trace_rays_fused(
             sc, o, d, b, mb)
     elif shading == "path":
-        trace = _trace_maybe_chunked
+        trace = lambda sc, o, d, b, mb, pf, rc: _trace_maybe_chunked(
+            sc, o, d, b, mb, pf, rc, bounce_policy)
     elif shading == "flat":
         from tpu_ray.ops.shading_modes import trace_flat
         trace = lambda sc, o, d, b, mb, pf, rc: trace_flat(sc, o, d, pf)
@@ -249,7 +263,7 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     # just the sample index (rays are recomputed in the backward); with
     # "save_hits" the per-bounce (t, idx) hit records are additionally saved
     # so the backward DCEs the O(R*N) search recompute.
-    if remat == "save_hits":
+    if remat in ("save_hits", "save_hits_bounce"):
         policy = jax.checkpoint_policies.save_only_these_names(
             "hit_mask", "hit_idx")
         sample_fn = jax.checkpoint(sample_fn, policy=policy)

@@ -106,14 +106,16 @@ class Payload(NamedTuple):
 
 
 def payload_tables(scene: Scene):
-    """([N,4] geometry, [N,8] material) gather tables; build ONCE per render
-    call (outside the bounce/sample scans) and pass to hit_payload so the
-    concat + HBM->VMEM staging doesn't repeat per loop iteration."""
-    geo = jnp.concatenate([scene.center, scene.radius[:, None]], axis=1)
-    mat = jnp.concatenate([scene.albedo, scene.emissive,
-                           scene.specular[:, None], scene.ior[:, None]],
-                          axis=1)
-    return geo, mat
+    """ONE combined [N,12] gather table (center|radius|albedo|emissive|
+    specular|ior); built ONCE per render call (outside the bounce/sample
+    scans). A single combined gather halves both the forward gather fusions
+    and their matmul transposes vs separate geometry/material tables
+    (profiled at 1080p: the pair of gathers was ~20% of the whole
+    fwd+bwd step)."""
+    return jnp.concatenate([scene.center, scene.radius[:, None],
+                            scene.albedo, scene.emissive,
+                            scene.specular[:, None], scene.ior[:, None]],
+                           axis=1)
 
 
 def hit_payload(scene: Scene, origin, direction, hit: Hit,
@@ -132,9 +134,8 @@ def hit_payload(scene: Scene, origin, direction, hit: Hit,
     transpose (slice) unchanged.
     """
     idx = jax.lax.stop_gradient(hit.idx)
-    geo, mat = payload_tables(scene) if tables is None else tables
-    g = gather_rows(geo, idx)      # [R,4]
-    m_ = gather_rows(mat, idx)     # [R,8]
+    table = payload_tables(scene) if tables is None else tables
+    g = gather_rows(table, idx)    # [R,12]
     c = g[:, 0:3]                  # [R,3]
     r = g[:, 3]                    # [R]
 
@@ -158,8 +159,8 @@ def hit_payload(scene: Scene, origin, direction, hit: Hit,
         next_origin=next_origin,
         normal_raw=normal_raw,
         inside=inside,
-        albedo=m_[:, 0:3],
-        emissive=m_[:, 3:6],
-        specular=m_[:, 6],
-        ior=m_[:, 7],
+        albedo=g[:, 4:7],
+        emissive=g[:, 7:10],
+        specular=g[:, 10],
+        ior=g[:, 11],
     )

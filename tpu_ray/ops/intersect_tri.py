@@ -58,22 +58,20 @@ def nearest_hit_tri_jnp(tris: Triangles, origin, direction) -> Hit:
 
 
 def tri_payload_tables(tris: Triangles):
-    """([M,9] v0|e1|e2, [M,8] material) gather tables; build once per render
-    call (same loop-invariant-hoisting rationale as intersect.payload_tables)."""
-    geo = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)
-    mat = jnp.concatenate([tris.albedo, tris.emissive,
-                           tris.specular[:, None], tris.ior[:, None]],
-                          axis=1)
-    return geo, mat
+    """ONE combined [M,17] gather table (v0|e1|e2|albedo|emissive|specular|
+    ior); built once per render call (same single-gather rationale as
+    intersect.payload_tables)."""
+    return jnp.concatenate([tris.v0, tris.e1, tris.e2, tris.albedo,
+                            tris.emissive, tris.specular[:, None],
+                            tris.ior[:, None]], axis=1)
 
 
 def tri_payload(tris: Triangles, origin, direction, hit: Hit,
                 tables=None, hit_mask=None) -> Payload:
     """Differentiable payload recompute from the winning triangle (O(R))."""
     idx = jax.lax.stop_gradient(hit.idx)
-    geo, mat = tri_payload_tables(tris) if tables is None else tables
-    g = gather_rows(geo, idx)
-    m_ = gather_rows(mat, idx)
+    table = tri_payload_tables(tris) if tables is None else tables
+    g = gather_rows(table, idx)    # [R,17]
     v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
 
     pvec = jnp.cross(direction, e2)
@@ -96,10 +94,10 @@ def tri_payload(tris: Triangles, origin, direction, hit: Hit,
         next_origin=next_origin,
         normal_raw=normal_raw,
         inside=inside,
-        albedo=m_[:, 0:3],
-        emissive=m_[:, 3:6],
-        specular=m_[:, 6],
-        ior=m_[:, 7],
+        albedo=g[:, 9:12],
+        emissive=g[:, 12:15],
+        specular=g[:, 15],
+        ior=g[:, 16],
     )
 
 
