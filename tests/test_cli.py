@@ -38,3 +38,24 @@ def test_render_sharded_matches_single(tmp_path):
             args += ["--mesh", mesh]
         assert main(args) == 0
     assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_animate_writes_frames(tmp_path):
+    out = str(tmp_path / "frames")
+    rc = main(["animate", "--scene", "rgb", "--width", "32", "--height", "16",
+               "--spp", "1", "--frames", "2", "--out-dir", out])
+    assert rc == 0
+    import os
+    names = sorted(os.listdir(out))
+    assert names == ["frame_0000.png", "frame_0001.png"]
+    # different orbit angles -> different images
+    a = open(os.path.join(out, names[0]), "rb").read()
+    b = open(os.path.join(out, names[1]), "rb").read()
+    assert a != b
+
+
+def test_unknown_flag_rejected():
+    import pytest
+    with pytest.raises(SystemExit) as e:
+        main(["render", "--sspp", "4", "--out", "/dev/null"])
+    assert e.value.code == 2
