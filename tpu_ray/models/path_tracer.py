@@ -122,7 +122,8 @@ def tile_order(width: int, height: int, tile: int = 32):
 
 
 def trace_rays(scene: Scene, origins, directions, stream_base,
-               max_bounces: int, probe_fn: ProbeFn, bounce_policy=None):
+               max_bounces: int, probe_fn: ProbeFn, bounce_policy=None,
+               unroll: bool = True):
     """Trace a flat ray wavefront to completion.
 
     -> (color [R,3] linear radiance, rays_cast [R] u32).
@@ -175,8 +176,13 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
     # the inverse-rendering path (tpu_ray.grad); identical forward ops.
     if bounce_policy is not None:
         bounce = jax.checkpoint(bounce, policy=bounce_policy)
+    # unroll=True: XLA fuses across consecutive bounces, cutting
+    # inter-bounce HBM round-trips (measured ~1.18x fwd+bwd on unchunked
+    # wavefronts; REGRESSES inside lax.map ray-chunking, so chunked traces
+    # pass unroll=False)
     (_, _, _, color, _, rays_cast), _ = jax.lax.scan(
-        bounce, init, jnp.arange(max_bounces, dtype=jnp.uint32))
+        bounce, init, jnp.arange(max_bounces, dtype=jnp.uint32),
+        unroll=bool(unroll))
     return color, rays_cast
 
 
@@ -185,14 +191,14 @@ def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
                          bounce_policy=None):
     if ray_chunk is None:
         return trace_rays(scene, origins, directions, base, max_bounces,
-                          probe_fn, bounce_policy)
+                          probe_fn, bounce_policy, unroll=True)
     n = origins.shape[0]
     k = n // ray_chunk
 
     def one(args):
         o, d, bs = args
         return trace_rays(scene, o, d, bs, max_bounces, probe_fn,
-                          bounce_policy)
+                          bounce_policy, unroll=False)
 
     color, rays = jax.lax.map(one, (
         origins.reshape(k, ray_chunk, 3),
