@@ -115,7 +115,7 @@ def main():
     ray_chunk = args.ray_chunk or None
     if ray_chunk is None and n * scene.n_pad > (1 << 28):
         # keep the fused [chunk, n_pad] intersection tile ~128 MB
-        ray_chunk = next((c for c in (129600, 86400, 43200, 28800, 14400,
+        ray_chunk = next((c for c in (86400, 129600, 43200, 28800, 14400,
                                       7200, 3600)
                           if n % c == 0), None)  # None: run unchunked
 
