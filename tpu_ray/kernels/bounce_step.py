@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ray.core.scene import F32_EPS, F32_MAX, Scene
 
-BLOCK_R = 512
+BLOCK_R = 1024  # swept 128-1024: per-block overhead beats finer dead-block skip
 _I32_MAX = 2**31 - 1
 
 
