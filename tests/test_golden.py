@@ -1,9 +1,12 @@
 """Golden-image regression guards (SURVEY.md §4: golden hashes per scene).
 
-Goldens are generated by the NumPy oracle (the reference re-execution) at
-tiny resolution and stored as npz; the jnp backend must match allclose.
-This pins the full pipeline (scenes, RNG, raygen, trace, shading) against
-silent drift. Regenerate with: python -m tests.test_golden regen
+Goldens are jnp-backend renders at tiny resolution frozen as npz — a pure
+DRIFT guard: any change to scenes, RNG, raygen, trace, or shading that
+alters output fails here. Oracle anchoring (jnp vs the NumPy/C++ reference
+re-execution) is a separate, stronger property covered by
+tests/test_forward_parity.py; a regenerated golden is therefore only as
+correct as the parity suite that gates it. Regenerate with:
+python -m tests.test_golden regen
 """
 import os
 import sys

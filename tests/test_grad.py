@@ -123,3 +123,89 @@ def test_camera_pose_fit():
         state, loss = step_fn(state, target)
         best = min(best, float(loss))
     assert best < 0.8 * float(loss0), (float(loss0), best)
+
+
+# --- remat / checkpoint-policy gradient equality -------------------------
+# The headline benchmark (bench.py) and cmd_fit run with remat enabled
+# ('save_hits' and True respectively); these tests pin every remat mode —
+# including the named-checkpoint plumbing in models.path_tracer._name_hit —
+# to the remat=False gradients, the reference-style A/B oracle discipline
+# (reference main.cpp:853) applied to the checkpoint machinery.
+
+def _grads(scene, cam, target, **kw):
+    def loss(s, c):
+        return image_mse(render_mean(s, c, **KW, **kw), target)
+    return jax.jit(jax.grad(loss, argnums=(0, 1)))(scene, cam)
+
+
+def _assert_grads_close(g, g0, rtol=1e-4):
+    la, lb = jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g0)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=1e-7 + 1e-5 * max(1e-30, np.abs(b).max()))
+
+
+@pytest.mark.parametrize("remat", [True, "save_hits", "save_hits_bounce"])
+def test_remat_grads_match_no_remat(rtw, remat):
+    scene, cam = rtw
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    g0 = _grads(scene, cam, target, remat=False)
+    g = _grads(scene, cam, target, remat=remat)
+    _assert_grads_close(g, g0)
+
+
+def test_save_hits_grads_with_ray_chunk(rtw):
+    # the exact headline-bench configuration shape: remat='save_hits' with
+    # lax.map ray chunking (bench.py uses ray_chunk=86400 at 1080p)
+    scene, cam = rtw
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    g0 = _grads(scene, cam, target, remat=False)
+    g = _grads(scene, cam, target, remat="save_hits", ray_chunk=64)
+    _assert_grads_close(g, g0)
+
+
+def test_save_hits_grads_sharded(rtw):
+    scene, cam = rtw
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    g0 = _grads(scene, cam, target, remat=False)
+
+    mesh = make_mesh((8,))
+    s = shard_scene(scene, mesh)
+
+    def loss_sh(scene, cam):
+        return image_mse(render_mean_sharded(scene, cam, mesh=mesh,
+                                             remat="save_hits", **KW), target)
+
+    gs, gc = jax.jit(jax.grad(loss_sh, argnums=(0, 1)))(s, cam)
+    _assert_grads_close((gs, gc), g0)
+
+
+def test_save_hits_grads_trimesh():
+    # covers _name_hit on BOTH search paths (sphere + Moller-Trumbore merge)
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    g0 = _grads(scene, cam, target, remat=False)
+    g = _grads(scene, cam, target, remat="save_hits")
+    _assert_grads_close(g, g0)
+    assert float(jnp.linalg.norm(g[0].tris.v0)) > 0
+
+
+def test_fit_remat_step_matches_no_remat():
+    # cmd_fit runs make_train_step(remat=True); one optimizer step must be
+    # identical to the remat=False step (same grads -> same adam update)
+    import optax
+    scene = make_scene("rgb")
+    cam = default_camera(scene)
+    target = render_mean(scene, cam, **KW)
+    states = {}
+    for remat in (False, True):
+        init_fn, step_fn = make_train_step(
+            width=W, height=H, spp=1, train_camera=False, fixed_samples=True,
+            remat=remat, optimizer=optax.adam(0.1))
+        st, loss = step_fn(init_fn(scene, cam), target)
+        states[remat] = (st, float(loss))
+    assert states[False][1] == pytest.approx(states[True][1], rel=1e-6)
+    _assert_grads_close(states[True][0].scene, states[False][0].scene)

@@ -70,8 +70,21 @@ def cmd_render(args) -> int:
     total_rays = 0
 
     if args.resume:
+        import dataclasses
         state, scene, camera, saved_cfg, total_rays = load_checkpoint(args.resume)
-        cfg = saved_cfg or cfg
+        if saved_cfg is not None:
+            # Accumulation-critical fields (scene identity, geometry, RNG
+            # stream) come from the checkpoint — changing them would corrupt
+            # the running mean; execution knobs honor the CLI.
+            for field in ("scene", "width", "height", "seed"):
+                if getattr(saved_cfg, field) != getattr(cfg, field):
+                    print(f"resume: --{field}={getattr(cfg, field)} ignored, "
+                          f"checkpoint has {field}={getattr(saved_cfg, field)}",
+                          file=sys.stderr)
+            cfg = dataclasses.replace(
+                saved_cfg, backend=cfg.backend, spp=cfg.spp,
+                max_bounces=cfg.max_bounces, ray_chunk=cfg.ray_chunk,
+                shading=cfg.shading)
         tracer = PathTracer(cfg, scene=scene)
         tracer.camera = camera
     else:

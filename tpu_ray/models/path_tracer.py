@@ -37,17 +37,20 @@ from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
 ProbeFn = Callable[[Scene, jax.Array, jax.Array], Payload]
 
 
-def _name_hit(hit):
+def _name_hit(hit, n_prim: int):
     """Tag the search result for the 'save_hits' remat policy (below): the
     O(R*N) search is forward-only, so saving its outcome lets the backward
     pass DCE the entire search recompute. Only 3 bytes/ray survive: the hit
     MASK (the sole consumer of t is the `t < F32_MAX` miss test) and the
-    winner index narrowed to i16 (primitive counts are < 32767) — at 1080p
-    64spp x 5 bounces that is 2.0 GB of saved residuals instead of 5.3 GB,
-    and the backward is HBM-bound on exactly this stream."""
+    winner index narrowed by the static padded primitive count `n_prim`
+    (i16 below 32768 primitives, i32 beyond — e.g. a subdivision-5 icosphere
+    soup has 40962 tris) — at 1080p 64spp x 5 bounces that is 2.0 GB of
+    saved residuals instead of 5.3 GB, and the backward is HBM-bound on
+    exactly this stream."""
     from jax.ad_checkpoint import checkpoint_name
     mask = checkpoint_name(hit.t < F32_MAX, "hit_mask")
-    idx = checkpoint_name(hit.idx.astype(jnp.int16),
+    idx_dtype = jnp.int16 if n_prim < 2 ** 15 else jnp.int32
+    idx = checkpoint_name(hit.idx.astype(idx_dtype),
                           "hit_idx").astype(jnp.int32)
     return hit._replace(idx=idx), mask
 
@@ -65,7 +68,8 @@ def _with_triangles(scene: Scene, origins, directions,
     from tpu_ray.ops.intersect_tri import (merge_payloads,
                                            nearest_hit_tri_jnp, tri_payload)
     hit, mask = _name_hit(nearest_hit_tri_jnp(scene.tris, origins,
-                                               directions))
+                                               directions),
+                          scene.tris.n_pad)
     tp = tri_payload(scene.tris, origins, directions, hit, tables=tri_tables,
                      hit_mask=mask)
     return merge_payloads(sphere_payload, tp, scene.n_pad)
@@ -75,7 +79,7 @@ def probe_jnp(scene: Scene, origins, directions, tables=None,
               tri_tables=None) -> Payload:
     """jnp-backend probe: brute-force search + payload recompute."""
     hit, mask = _name_hit(nearest_hit_jnp(scene.center, scene.radius,
-                                           origins, directions))
+                                           origins, directions), scene.n_pad)
     p = hit_payload(scene, origins, directions, hit, tables=tables,
                     hit_mask=mask)
     return _with_triangles(scene, origins, directions, p,
@@ -87,7 +91,8 @@ def probe_pallas(scene: Scene, origins, directions, tables=None,
     """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
     hit, mask = _name_hit(nearest_hit_pallas(scene.center, scene.radius,
-                                             origins, directions))
+                                             origins, directions),
+                          scene.n_pad)
     p = hit_payload(scene, origins, directions, hit, tables=tables,
                     hit_mask=mask)
     return _with_triangles(scene, origins, directions, p,
@@ -246,10 +251,25 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         bounce_policy = jax.checkpoint_policies.save_only_these_names(
             "hit_mask", "hit_idx")
     if shading == "path" and backend_is_fused:
-        from tpu_ray.kernels.bounce_step import trace_rays_fused
-        trace = lambda sc, o, d, b, mb, pf, rc: trace_rays_fused(
-            sc, o, d, b, mb)
-    elif shading == "path":
+        # The fused sample carries its own custom VJP (raygen + bounce scan
+        # in one boundary, saving only the [B,R] i16 hit records — the
+        # 'save_hits' budget built in), so the remat wrappers below are
+        # bypassed: wrapping the custom_vjp in jax.checkpoint would re-run
+        # the fused search per sample in the backward.
+        from tpu_ray.kernels.bounce_step import make_fused_sample
+        fused_sample = make_fused_sample(width, height, seed, max_bounces)
+
+        def sample_body(carry, s):
+            color_sum, rays = carry
+            color, rc = fused_sample(scene, camera, pixel, s)
+            return (color_sum + color, rays + jnp.sum(rc)), None
+
+        init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.uint32))
+        samples = (jnp.asarray(sample_start, jnp.uint32)
+                   + jnp.arange(spp, dtype=jnp.uint32))
+        (color_sum, rays), _ = jax.lax.scan(sample_body, init, samples)
+        return color_sum, rays
+    if shading == "path":
         trace = lambda sc, o, d, b, mb, pf, rc: _trace_maybe_chunked(
             sc, o, d, b, mb, pf, rc, bounce_policy)
     elif shading == "flat":

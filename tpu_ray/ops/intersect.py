@@ -127,11 +127,12 @@ def hit_payload(scene: Scene, origin, direction, hit: Hit,
     inside flag) and main.cpp:443-455 (payload extraction).
 
     Perf note: TPU gathers are row-granular and expensive, so the 8 scene
-    fields are packed into TWO gather tables ([N,4] geometry + [N,8]
-    material) instead of 8 per-field gathers — measured 2.8x on the whole
-    render step. The concatenates are O(N), loop-invariant, and hoisted out
-    of the bounce/sample scans by XLA; gradients flow through the concat
-    transpose (slice) unchanged.
+    fields are packed into ONE combined [N,12] gather table
+    (payload_tables) instead of 8 per-field gathers — measured 2.8x on the
+    whole render step going to two tables, then another ~1.2x folding those
+    into one (BASELINE.md optimization (e)). The concatenate is O(N),
+    loop-invariant, and hoisted out of the bounce/sample scans by XLA;
+    gradients flow through the concat transpose (slice) unchanged.
     """
     idx = jax.lax.stop_gradient(hit.idx)
     table = payload_tables(scene) if tables is None else tables

@@ -26,17 +26,35 @@ from typing import Optional
 import jax
 
 
+def _already_initialized() -> bool:
+    """True iff jax.distributed.initialize has already run.
+
+    Read from the distributed service state directly — anything like
+    jax.process_count() would itself initialize the XLA backend, after which
+    jax.distributed.initialize raises ("must be called before any JAX calls
+    that might initialise the XLA backend").
+    """
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return False
+
+
 def ensure_initialized(coordinator_address: Optional[str] = None,
                        num_processes: Optional[int] = None,
                        process_id: Optional[int] = None) -> bool:
     """Initialize jax.distributed when running multi-process; else no-op.
 
-    Returns True iff distributed mode is active. Auto-detects TPU pod
-    environments (JAX reads the TPU metadata) when no arguments are given;
-    explicit args or JAX_COORDINATOR_ADDRESS force initialization.
+    Returns True iff distributed mode is active. Decides from env/args ONLY
+    — it must not touch any backend-initializing JAX API (device queries,
+    process_count) before jax.distributed.initialize, which requires a
+    pristine backend. Explicit args or JAX_COORDINATOR_ADDRESS force
+    initialization; a bare single process returns False without any JAX
+    call at all.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    if _already_initialized():
+        return jax.process_count() > 1
     # explicit opt-in only: pod-env sniffing misfires on single-chip
     # tunnels that still carry TPU_* variables
     coordinator_address = coordinator_address or os.environ.get(
