@@ -27,13 +27,27 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start=0, seed: int = 0, max_bounces: int = 5,
                 backend: str = "jnp", ray_chunk: Optional[int] = None,
                 remat: bool = False):
-    """Differentiable spp-mean radiance image [H,W,3]."""
-    pixel = jnp.arange(width * height, dtype=jnp.int32)
+    """Differentiable spp-mean radiance image [H,W,3].
+
+    backend='fused' runs both sweeps on the fused Pallas bounce kernels
+    (custom VJP; `remat` is ignored — the fused path saves only its i16 hit
+    records by construction)."""
+    fused = backend == "fused"
+    if fused:
+        # tile-major ray order so the fused kernels' dead-block skip fires
+        # in BOTH sweeps (same rationale as render_pass)
+        from tpu_ray.models.path_tracer import tile_order
+        perm, inv = tile_order(width, height)
+        pixel = jnp.asarray(perm)
+    else:
+        pixel = jnp.arange(width * height, dtype=jnp.int32)
     color_sum, _ = render_pixels(
         scene, camera, pixel, width=width, height=height, spp=spp,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
-        remat=remat)
+        remat=remat, backend_is_fused=fused)
+    if fused:
+        color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3) / jnp.float32(spp)
 
 
@@ -58,14 +72,22 @@ def render_mean_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     probe = (partial(probe_sphere_sharded, axis=SPHERE_AXIS)
              if sphere_sharded else probe_fn_for_backend(backend))
     scene_specs = scene_pspec(scene, SPHERE_AXIS if sphere_sharded else None)
-    pixel = jnp.arange(n, dtype=jnp.int32)
+    fused = backend == "fused"
+    if fused:
+        assert not sphere_sharded, "fused backend needs the full sphere axis"
+        from tpu_ray.models.path_tracer import tile_order
+        perm, inv = tile_order(width, height)
+        pixel = jnp.asarray(perm)
+    else:
+        inv = None
+        pixel = jnp.arange(n, dtype=jnp.int32)
 
     def shard_fn(scene_local, camera, pixel_local):
         color_sum, _ = render_pixels(
             scene_local, camera, pixel_local, width=width, height=height,
             spp=spp, sample_start=sample_start, seed=seed,
             max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk,
-            remat=remat)
+            remat=remat, backend_is_fused=fused)
         if sphere_sharded:
             # Every sphere shard computed the same color; pmean makes that
             # replication explicit so the backward pass splits the cotangent
@@ -80,6 +102,8 @@ def render_mean_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
         out_specs=P(RAY_AXIS),
         check_vma=False,
     )(scene, camera, pixel)
+    if inv is not None:
+        color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3) / jnp.float32(spp)
 
 

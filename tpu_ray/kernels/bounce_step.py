@@ -1,31 +1,59 @@
-"""Fused bounce mega-kernel: search + winner gather + shading in one pass.
+"""Fused bounce mega-kernels: search + winner gather + shading in one pass,
+forward AND backward.
 
 The forward render's cost splits ~2:1 between the O(R*N) search and O(R)
 per-bounce work (payload gathers, scatter math, RNG) — the latter is slow in
 XLA because every elementwise step round-trips the wavefront through HBM and
-the winner gathers are row-granular. This kernel keeps one ray block
-entirely in VMEM for a whole bounce:
+the winner gathers are row-granular. These kernels keep one ray block
+entirely in VMEM for a whole bounce. This is the TPU translation of the
+reference's whole RenderTile inner loop (reference main.cpp:387-482) as ONE
+kernel per bounce, for BOTH sweeps (SURVEY.md §7 step 4: "custom_vjp pairing
+forward Pallas with a hand-written backward ... saved-hit replay").
 
-  1. search: rays on sublanes x spheres on lanes (the Pallas nearest-hit,
-     same math as kernels/sphere_intersect.py), one shot for N <= 1024;
-  2. winner "gather" as an MXU matmul: table_T [16,N] @ one_hot [N,BR]
-     -> winner_T [16,BR] — runs on the MXU concurrently with VPU work, and
-     the one-hot operand is fused (never materialized in HBM);
-  3. payload recompute + shading + counter RNG, channel-major: the ray
-     state lives as [16, R] so every per-ray op is a [1, BR] lane-packed
-     vector op (rays on the 128-lane axis).
+Orientation: everything is channel-major. Ray state is [16, R] (rays on the
+128-lane axis) and the search runs as [N, BLOCK_R] — spheres on sublanes,
+rays on lanes:
 
-This is the TPU translation of the reference's whole RenderTile inner loop
-(reference main.cpp:387-482) as ONE kernel per bounce. Forward-only: the
-gradient path keeps the jnp probe (the kernel is opaque to autodiff by
-design — SURVEY.md §7's recompute-based backward never needs it).
+  1. search: dcT = C @ D and -2 oc = (-2C) @ O are [N,3]x[3,BR] MXU
+     matmuls straight off the state rows (no per-bounce ray-major transpose
+     in XLA), the root-selection chain is ~12 VPU ops/pair, and the
+     nearest-hit reduction is a SUBLANE min (cross-lane reductions are the
+     expensive ones on TPU). Invalid roots are rejected arithmetically:
+     sqrt(disc<0) -> NaN and t <= eps -> negative both order ABOVE every
+     real hit under the sign-flipped-bits integer order, so the
+     valid-mask/select ops of the v1 kernel disappear.
+  2. winner "gather" as an MXU matmul: table [16,N] @ one_hot [N,BR]
+     -> winner [16,BR]; the one-hot operand is fused (never in HBM).
+  3. payload recompute + shading + counter RNG as [1,BR] lane-packed ops.
+
+Three kernels share ONE differentiable shading chain (`_shade`):
+  - `_fwd_kernel`    : search + shade; also emits the per-ray winner index
+                       (i16 on the host side, -1 = miss/dead) — the
+                       3-byte/ray/bounce hit record of the 'save_hits' remat
+                       policy, here as a kernel output.
+  - `_replay_kernel` : shade only, winner recomputed from the SAVED index
+                       (one-hot matmul) — the backward pass's
+                       search-free forward re-execution.
+  - `_bwd_kernel`    : jax.vjp of `_shade` traced INSIDE the kernel (the
+                       whole linearization lives in VMEM), producing
+                       d_state_in and the d_table partial via a second MXU
+                       matmul d_winner @ one_hot^T accumulated across the
+                       (sequential) ray-block grid.
+
+`make_fused_sample` wires them into a jax.custom_vjp over one full
+(raygen -> B bounces) sample: forward saves ONLY the [B, R] i16 index stack
+(+ the tiny scene/camera pytrees); backward re-derives rays from the camera,
+replays states, then runs the reverse bounce sweep. Residual memory matches
+the jnp path's 'save_hits' policy; compute never re-runs the O(R*N) search.
 
 State channel layout [16, R] (f32; ch 13 is u32 bitcast):
    0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 color,
    12 alive (0/1), 13 rng stream base, 14-15 unused.
-Table layout [16, N]:
+Shading table layout [16, N] (`scene_table`):
    0-2 center, 3 radius, 4-6 albedo, 7-9 emissive, 10 specular, 11 ior,
-   12 |c|^2 - r^2 (search constant), 13-15 unused.
+   12-15 unused.
+Search table layout [N, 8] (`search_table`, stop-gradient by construction):
+   0-2 center, 3-5 -2*center, 6 |c|^2 - r^2, 7 unused.
 """
 from __future__ import annotations
 
@@ -33,13 +61,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ray.core.scene import F32_EPS, F32_MAX, Scene
 
-BLOCK_R = 1024  # swept 128-1024: per-block overhead beats finer dead-block skip
+BLOCK_R = 1024  # swept 128-2048: per-block overhead beats finer dead-block skip
 _I32_MAX = 2**31 - 1
+_MIX_BOUNCE = 0x632BE59B
+_MIX_SLOT = 0xC2B2AE35
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _u32(x):
@@ -66,13 +98,38 @@ def _u32_to_f32(u):
     return hi * 65536.0 + lo
 
 
-def _draw(base, bounce_term, slot_mix, lo, hi):
-    u = _pcg_hash(base + bounce_term + jnp.uint32(slot_mix))
+def _draw(base, bounce_term, slot, lo, hi):
+    u = _pcg_hash(base + bounce_term + jnp.uint32((slot * _MIX_SLOT)
+                                                  & 0xFFFFFFFF))
     scale = jnp.float32((hi - lo) * (1.0 / 4294967296.0))
     return _u32_to_f32(u) * scale + jnp.float32(lo)
 
 
+def _rand_draws(st, b_ref):
+    """The four per-bounce RNG draws, [1,BR] each. Pure u32 math off the
+    (non-differentiable) stream-base channel — computed OUTSIDE the
+    differentiable chain so jax.vjp never sees the integer bitcasts."""
+    base = _u32(jax.lax.stop_gradient(st[13:14, :]))
+    bterm = b_ref[0, 0].astype(jnp.uint32) * jnp.uint32(_MIX_BOUNCE)
+    return (_draw(base, bterm, 0, -1.0, 1.0),
+            _draw(base, bterm, 1, -1.0, 1.0),
+            _draw(base, bterm, 2, -1.0, 1.0),
+            _draw(base, bterm, 3, 0.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# differentiable shading chain (shared by forward / replay / backward)
+# ---------------------------------------------------------------------------
+
+def _safe_sqrt(x):
+    """sqrt with zero value AND zero gradient for x <= 0 (ops/vec.safe_sqrt);
+    the double-where keeps NaN out of reverse-mode (sqrt'(0) = inf)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def _normalize_eps3(x, y, z):
+    """Reference v3::Normalize (x64_math.h:234-245): 0 when |v|^2 <= eps."""
     lsq = x * x + y * y + z * z
     ok = lsq > F32_EPS
     inv = jax.lax.rsqrt(jnp.where(ok, lsq, 1.0))
@@ -81,106 +138,36 @@ def _normalize_eps3(x, y, z):
             jnp.where(ok, z * inv, zero))
 
 
-def _kernel(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
-            n_pad: int, use_sky: bool):
-    f32 = jnp.float32
+def _shade(st, winner, live, sky_mask, rand, use_sky: bool):
+    """One bounce's smooth state update given the (non-diff) winner.
 
-    # Whole-block dead-ray skip: rays die in raster-coherent clumps (sky
-    # pixels at bounce 1, absorbed paths later), so entire 512-ray blocks go
-    # dead as bounces progress — the dynamic early-out XLA's static graph
-    # cannot express (the reference's per-pixel `break`, main.cpp:433-440,
-    # reborn at block granularity).
-    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+    st [16,BR] f32 state, winner [16,BR] gathered winner columns (garbage on
+    non-live lanes — masked out), live / sky_mask [1,BR] bool closures
+    (alive&hit / alive&miss), rand = 4x [1,BR] f32 draws. -> [16,BR].
 
-    @pl.when(jnp.logical_not(block_alive))
-    def _():
-        out_ref[:] = state_ref[:]
+    Differentiable w.r.t. st and winner: this single function is the
+    reference's per-pixel shading (main.cpp:446-481 + sky 433-440 + payload
+    recompute 401-417), and `_bwd_kernel` takes jax.vjp of it in-kernel.
+    Every sqrt/normalize is guarded so reverse-mode never sees sqrt(0)/NaN.
+    """
+    def ch(a, c):
+        return a[c:c + 1, :]
 
-    @pl.when(block_alive)
-    def _():
-        _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref,
-                     n_pad=n_pad, use_sky=use_sky)
-
-
-def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
-                 n_pad: int, use_sky: bool):
-    f32 = jnp.float32
-
-    # ---- phase 1: nearest-hit search (rays sublanes x spheres lanes) ----
-    o_blk = rays8_ref[:, 0:3]
-    oo = rays8_ref[:, 3:4]
-    d_blk = rays8_ref[:, 4:7]
-    od = rays8_ref[:, 7:8]
-    ct = table_ref[0:3, :]                     # [3,N]
-    ccmr = table_ref[12:13, :]                 # [1,N]
-
-    dc = jnp.dot(d_blk, ct, preferred_element_type=f32,
-                 precision=jax.lax.Precision.HIGHEST)
-    oc = jnp.dot(o_blk, ct, preferred_element_type=f32,
-                 precision=jax.lax.Precision.HIGHEST)
-    tp = dc - od
-    q = ccmr - 2.0 * oc + oo
-    disc = tp * tp - q
-    x = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_near = tp - x
-    t = jnp.where(t_near < F32_EPS, tp + x, t_near)
-    valid = (disc > 0.0) & (t > F32_EPS)
-    tvals = jnp.where(valid, t, F32_MAX)
-
-    # Packed single-reduction argmin: positive-f32 bit patterns order like
-    # ints, so stuffing the column index into the low ceil(log2 N) mantissa
-    # bits makes ONE min-reduce return both winner t (truncated) and index —
-    # 1.26x over the min + masked-index-min pair. Cost: winner selection
-    # compares t at ~2^-14 relative resolution, so near-exact ties can flip
-    # (a fwd-only accuracy/speed knob; the jnp backend stays exact).
-    idx_bits = max(1, (tvals.shape[1] - 1).bit_length())
-    low_mask = (1 << idx_bits) - 1
-    bits = pltpu.bitcast(tvals, jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, tvals.shape, 1)
-    packed = (bits & jnp.int32(~low_mask)) | cols
-    pmin = jnp.min(packed, axis=1, keepdims=True)              # [BR,1]
-    idx = pmin & jnp.int32(low_mask)
-    tmin = pltpu.bitcast(pmin & jnp.int32(~low_mask), jnp.float32)
-
-    # ---- phase 2: winner extraction via MXU one-hot matmul ----
-    # transpose the two tiny per-ray columns to lane orientation
-    idx_t = idx.reshape(1, idx.shape[0])                       # [1,BR]
-    tmin_t = tmin.reshape(1, tmin.shape[0])                    # [1,BR]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, idx.shape[0]), 0)
-    onehot = (rows == idx_t).astype(f32)                       # [N,BR]
-    winner = jnp.dot(table_ref[:], onehot, preferred_element_type=f32,
-                     precision=jax.lax.Precision.HIGHEST)      # [16,BR]
-
-    # ---- phase 3: shading, channel-major ([1,BR] lane-packed ops) ----
-    def ch(ref_or_arr, c):
-        return ref_or_arr[c:c + 1, :]
-
-    st = state_ref[:]
     ox_, oy_, oz_ = ch(st, 0), ch(st, 1), ch(st, 2)
     dx_, dy_, dz_ = ch(st, 3), ch(st, 4), ch(st, 5)
     ax_, ay_, az_ = ch(st, 6), ch(st, 7), ch(st, 8)
     cr_, cg_, cb_ = ch(st, 9), ch(st, 10), ch(st, 11)
-    alive = ch(st, 12) > 0.5
-    base = _u32(ch(st, 13))
 
     cx_, cy_, cz_ = ch(winner, 0), ch(winner, 1), ch(winner, 2)
+    r_ = ch(winner, 3)
     alr, alg, alb = ch(winner, 4), ch(winner, 5), ch(winner, 6)
     emr, emg, emb = ch(winner, 7), ch(winner, 8), ch(winner, 9)
     spec = ch(winner, 10)
     ior = ch(winner, 11)
 
-    # miss sentinel: F32_MAX with its low index bits zeroed compares below
-    # F32_MAX, so test against the masked sentinel value
-    import numpy as _np
-    miss_val = _np.int32(_np.float32(F32_MAX).view(_np.int32) & ~low_mask
-                         ).view(_np.float32)
-    hit = tmin_t < miss_val
-    live = alive & hit
-
     # sky emission for dying rays (reference main.cpp:433-440)
     if use_sky:
         a = (dy_ + 1.0) * 0.5
-        sky_mask = alive & ~hit
         cr_ = cr_ + jnp.where(sky_mask, ((1.0 - a) + a * 0.5) * ax_, 0.0)
         cg_ = cg_ + jnp.where(sky_mask, ((1.0 - a) + a * 0.7) * ay_, 0.0)
         cb_ = cb_ + jnp.where(sky_mask, ((1.0 - a) + a * 1.0) * az_, 0.0)
@@ -190,9 +177,7 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     tp2 = mx * dx_ + my * dy_ + mz * dz_
     px_, py_, pz_ = mx - dx_ * tp2, my - dy_ * tp2, mz - dz_ * tp2
     dsq = px_ * px_ + py_ * py_ + pz_ * pz_
-    r_ = ch(winner, 3)
-    rr2 = r_ * r_ - dsq
-    xx = jnp.sqrt(jnp.maximum(rr2, 0.0))
+    xx = _safe_sqrt(r_ * r_ - dsq)
     tn = tp2 - xx
     inside = tn < F32_EPS
     tt = jnp.where(inside, tp2 + xx, tn)
@@ -200,7 +185,7 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     nox, noy, noz = ox_ + dx_ * tt, oy_ + dy_ * tt, oz_ + dz_ * tt
     nrx, nry, nrz = dx_ * tt - mx, dy_ * tt - my, dz_ * tt - mz
 
-    # emissive add + albedo attenuation
+    # emissive add + albedo attenuation (main.cpp:446-447)
     cr_ = cr_ + jnp.where(live, emr * ax_, 0.0)
     cg_ = cg_ + jnp.where(live, emg * ay_, 0.0)
     cb_ = cb_ + jnp.where(live, emb * az_, 0.0)
@@ -216,12 +201,7 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     sgn = jnp.where(inside, -1.0, 1.0)
     n2x, n2y, n2z = sgn * nx, sgn * ny, sgn * nz
 
-    bterm = b_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x632BE59B)
-    r0 = _draw(base, bterm, 0 * 0xC2B2AE35 & 0xFFFFFFFF, -1.0, 1.0)
-    r1 = _draw(base, bterm, 1 * 0xC2B2AE35 & 0xFFFFFFFF, -1.0, 1.0)
-    r2 = _draw(base, bterm, 2 * 0xC2B2AE35 & 0xFFFFFFFF, -1.0, 1.0)
-    rrefl = _draw(base, bterm, 3 * 0xC2B2AE35 & 0xFFFFFFFF, 0.0, 1.0)
-
+    r0, r1, r2, rrefl = rand
     rux, ruy, ruz = _normalize_eps3(r0, r1, r2)
     rbx, rby, rbz = n2x + rux, n2y + ruy, n2z + ruz
     omspec = 1.0 - spec
@@ -234,13 +214,13 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     ior_safe = jnp.where(is_diel, ior, 1.0)
     ri = jnp.where(inside, ior_safe, 1.0 / ior_safe)
     cos_t = jnp.minimum(-(dx_ * n2x + dy_ * n2y + dz_ * n2z), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
     cant = ri * sin_t > 1.0
     perpx = ri * (dx_ + cos_t * n2x)
     perpy = ri * (dy_ + cos_t * n2y)
     perpz = ri * (dz_ + cos_t * n2z)
-    k = 1.0 - (perpx * perpx + perpy * perpy + perpz * perpz)
-    par = -jnp.sqrt(jnp.abs(k))
+    par = -_safe_sqrt(jnp.abs(
+        1.0 - (perpx * perpx + perpy * perpy + perpz * perpz)))
     rfx, rfy, rfz = _normalize_eps3(
         perpx + par * n2x, perpy + par * n2y, perpz + par * n2z)
     # Schlick (reference main.cpp:292-300)
@@ -258,64 +238,272 @@ def _kernel_body(b_ref, rays8_ref, state_ref, table_ref, out_ref, *,
     ndy = jnp.where(is_diel, dly, ddy)
     ndz = jnp.where(is_diel, dlz, ddz)
 
-    out_ref[0:1, :] = jnp.where(live, nox, ox_)
-    out_ref[1:2, :] = jnp.where(live, noy, oy_)
-    out_ref[2:3, :] = jnp.where(live, noz, oz_)
-    out_ref[3:4, :] = jnp.where(live, ndx, dx_)
-    out_ref[4:5, :] = jnp.where(live, ndy, dy_)
-    out_ref[5:6, :] = jnp.where(live, ndz, dz_)
-    out_ref[6:7, :] = ax_
-    out_ref[7:8, :] = ay_
-    out_ref[8:9, :] = az_
-    out_ref[9:10, :] = cr_
-    out_ref[10:11, :] = cg_
-    out_ref[11:12, :] = cb_
-    out_ref[12:13, :] = jnp.where(live, 1.0, 0.0)
-    out_ref[13:14, :] = ch(st, 13)
-    out_ref[14:15, :] = ch(st, 14)
-    out_ref[15:16, :] = ch(st, 15)
+    return jnp.concatenate([
+        jnp.where(live, nox, ox_),
+        jnp.where(live, noy, oy_),
+        jnp.where(live, noz, oz_),
+        jnp.where(live, ndx, dx_),
+        jnp.where(live, ndy, dy_),
+        jnp.where(live, ndz, dz_),
+        ax_, ay_, az_, cr_, cg_, cb_,
+        jnp.where(live, 1.0, 0.0),
+        st[13:16, :],
+    ], axis=0)
 
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _winner_from_idx(table_ref, idx, n_pad):
+    """table [16,N] @ one_hot(idx) [N,BR] on the MXU. idx [1,BR] i32; -1
+    (miss/dead) selects no row -> all-zero winner column."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, idx.shape[1]), 0)
+    onehot = (rows == idx).astype(jnp.float32)
+    winner = jnp.dot(table_ref[:], onehot, preferred_element_type=jnp.float32,
+                     precision=_HIGHEST)
+    return winner, onehot
+
+
+def _search(st, stab_ref, n_pad: int, exact_argmin: bool):
+    """Nearest-hit over all spheres, [N,BR] oriented. -> (idx [1,BR] i32,
+    hit [1,BR] bool). Winner index only — the differentiable t is recomputed
+    in `_shade` (the recompute-not-save rule, ops/intersect docstring)."""
+    o = st[0:3, :]
+    d = st[3:6, :]
+    oo = jnp.sum(o * o, axis=0, keepdims=True)       # [1,BR]
+    od = jnp.sum(o * d, axis=0, keepdims=True)
+
+    c = stab_ref[:, 0:3]                              # [N,3]
+    cm2 = stab_ref[:, 3:6]
+    ccmr = stab_ref[:, 6:7]                           # [N,1]
+
+    dcT = jnp.dot(c, d, preferred_element_type=jnp.float32,
+                  precision=_HIGHEST)                 # [N,BR]
+    m2ocT = jnp.dot(cm2, o, preferred_element_type=jnp.float32,
+                    precision=_HIGHEST)
+
+    tp = dcT - od
+    q = m2ocT + (ccmr + oo)
+    disc = tp * tp - q
+    x = jnp.sqrt(disc)            # NaN when disc < 0: rejected by the order
+    tn = tp - x
+    t = jnp.where(tn < F32_EPS, tp + x, tn)
+    # shift by eps: t <= eps becomes <= 0, whose sign-flipped bit pattern
+    # (like NaN's) orders above every valid hit — no mask/select needed
+    tb = t - F32_EPS
+    rows = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 0)
+
+    if exact_argmin:
+        # two-reduction exact argmin (full-precision t comparison); the
+        # bit-stable verification mode — ~3 extra ops/pair
+        tv = jnp.where(tb > 0.0, tb, F32_MAX)
+        tmin = jnp.min(tv, axis=0, keepdims=True)
+        cand = jnp.where(tv == tmin, rows, jnp.int32(_I32_MAX))
+        idx = jnp.min(cand, axis=0, keepdims=True)
+        hit = tmin < F32_MAX
+        return idx, hit
+
+    # Packed single-reduction argmin: stuff the row index into the low
+    # ceil(log2 N) mantissa bits; ONE sublane min returns both winner and
+    # index. Positive-f32 bits order like ints; negatives/NaN order above
+    # after flipping the sign bit (u32 -> monotone i32 map). Cost: winner
+    # selection compares t at ~2^-14 relative resolution, so near-exact
+    # ties can flip (a fwd accuracy/speed knob; exact_argmin=True and the
+    # jnp backend stay exact).
+    idx_bits = max(1, (n_pad - 1).bit_length())
+    low_mask = (1 << idx_bits) - 1
+    bits = _u32(tb)
+    packed = (bits & jnp.uint32(~low_mask & 0xFFFFFFFF)) | _u32(rows)
+    ps = pltpu.bitcast(packed ^ jnp.uint32(0x80000000), jnp.int32)
+    pmin = jnp.min(ps, axis=0, keepdims=True)          # [1,BR]
+    pminu = pltpu.bitcast(pmin, jnp.uint32) ^ jnp.uint32(0x80000000)
+    idx = pltpu.bitcast(pminu & jnp.uint32(low_mask), jnp.int32)
+    # miss sentinel: anything >= (F32_MAX - eps) bit-masked is a non-hit;
+    # real scene t values are far below F32_MAX = 1e30
+    miss_bits = int(np.float32(F32_MAX).view(np.uint32)) & (
+        ~low_mask & 0xFFFFFFFF)
+    miss_s = np.uint32(miss_bits ^ 0x80000000).astype(np.int32)
+    hit = pmin < jnp.int32(miss_s)
+    return idx, hit
+
+
+def _fwd_kernel(b_ref, state_ref, stab_ref, table_ref, out_ref, idx_ref, *,
+                n_pad: int, use_sky: bool, exact_argmin: bool):
+    # Whole-block dead-ray skip: rays die in raster-coherent clumps (sky
+    # pixels at bounce 1, absorbed paths later), so entire ray blocks go
+    # dead as bounces progress — the dynamic early-out XLA's static graph
+    # cannot express (the reference's per-pixel `break`, main.cpp:433-440,
+    # reborn at block granularity).
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    @pl.when(block_alive)
+    def _():
+        st = state_ref[:]
+        idx, hit = _search(st, stab_ref, n_pad, exact_argmin)
+        winner, _ = _winner_from_idx(table_ref, idx, n_pad)
+        alive = st[12:13, :] > 0.5
+        live = alive & hit
+        sky_mask = alive & jnp.logical_not(hit)
+        rand = _rand_draws(st, b_ref)
+        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky)
+        # the saved hit record: winner index for live rays, -1 otherwise
+        idx_ref[:] = jnp.where(live, idx, jnp.int32(-1))
+
+
+def _replay_kernel(b_ref, state_ref, idx_ref, table_ref, out_ref, *,
+                   n_pad: int, use_sky: bool):
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+
+    @pl.when(block_alive)
+    def _():
+        st = state_ref[:]
+        idx = idx_ref[:]
+        winner, _ = _winner_from_idx(table_ref, idx, n_pad)
+        live = idx >= 0                       # saved as -1 for miss AND dead
+        alive = st[12:13, :] > 0.5
+        sky_mask = alive & jnp.logical_not(live)
+        rand = _rand_draws(st, b_ref)
+        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky)
+
+
+def _bwd_kernel(b_ref, state_ref, idx_ref, table_ref, dout_ref,
+                dstate_ref, dtable_ref, *, n_pad: int, use_sky: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dtable_ref[:] = jnp.zeros_like(dtable_ref)
+
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        # forward was the identity on dead blocks
+        dstate_ref[:] = dout_ref[:]
+
+    @pl.when(block_alive)
+    def _():
+        st = state_ref[:]
+        idx = idx_ref[:]
+        winner, onehot = _winner_from_idx(table_ref, idx, n_pad)
+        live = idx >= 0
+        alive = st[12:13, :] > 0.5
+        sky_mask = alive & jnp.logical_not(live)
+        rand = _rand_draws(st, b_ref)
+
+        # the whole linearization of the shading chain, traced in-kernel:
+        # every residual stays in VMEM, nothing touches HBM
+        _, vjp_fn = jax.vjp(
+            lambda s_, w_: _shade(s_, w_, live, sky_mask, rand, use_sky),
+            st, winner)
+        d_st, d_wn = vjp_fn(dout_ref[:])
+        dstate_ref[:] = d_st
+        # gather transpose on the MXU: d_table += d_winner @ one_hot^T
+        dtable_ref[:] = dtable_ref[:] + jax.lax.dot_general(
+            d_wn, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
 
 def scene_table(scene: Scene):
-    """[16, N] search+shade constant table (see module docstring)."""
+    """[16, N] shading constant table (see module docstring)."""
     c = scene.center.T                               # [3,N]
     r = scene.radius[None, :]
-    ccmr = jnp.sum(c * c, axis=0, keepdims=True) - r * r
     zero = jnp.zeros_like(r)
     return jnp.concatenate([
         c, r, scene.albedo.T, scene.emissive.T, scene.specular[None, :],
-        scene.ior[None, :], ccmr, zero, zero, zero], axis=0)
+        scene.ior[None, :], zero, zero, zero, zero], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
-def bounce_step_pallas(table, state, bounce, *, use_sky: bool,
-                       block_r: int = BLOCK_R):
-    """One fused bounce over the whole wavefront.
+def search_table(scene: Scene):
+    """[N, 8] search constant table (stop-gradient: the search is the
+    non-differentiable discrete selection, ops/intersect docstring)."""
+    c = jax.lax.stop_gradient(scene.center)          # [N,3]
+    r = jax.lax.stop_gradient(scene.radius)
+    ccmr = (jnp.sum(c * c, axis=1) - r * r)[:, None]
+    return jnp.concatenate([c, -2.0 * c, ccmr, jnp.zeros_like(ccmr)], axis=1)
 
-    table [16,N] (scene_table), state [16,R] (R a multiple of block_r),
-    bounce [] i32 -> new state [16,R].
-    """
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+def _smem_bounce(b):
+    return jnp.asarray(b, jnp.int32).reshape(1, 1)
+
+
+def _check_shapes(table, state, block_r):
     n_pad = table.shape[1]
     r_tot = state.shape[1]
     assert r_tot % block_r == 0, (r_tot, block_r)
     assert n_pad <= 1024, "single-shot search; use the jnp path beyond 1k"
+    return n_pad, r_tot
 
-    # per-ray search operands in sublane orientation: [R,8] = o, |o|2, d, o.d
-    o = state[0:3, :].T
-    d = state[3:6, :].T
-    oo = jnp.sum(o * o, axis=1, keepdims=True)
-    od = jnp.sum(o * d, axis=1, keepdims=True)
-    rays8 = jnp.concatenate([o, oo, d, od], axis=1)
 
-    return pl.pallas_call(
-        functools.partial(_kernel, n_pad=n_pad, use_sky=use_sky),
+@functools.partial(jax.jit, static_argnames=("use_sky", "block_r",
+                                             "exact_argmin"))
+def bounce_fwd(table, stab, state, bounce, *, use_sky: bool,
+               block_r: int = BLOCK_R, exact_argmin: bool = False):
+    """One fused forward bounce. table [16,N], stab [N,8], state [16,R]
+    (R multiple of block_r), bounce [] i32
+    -> (new state [16,R], winner idx [R] i32, -1 = miss/dead)."""
+    n_pad, r_tot = _check_shapes(table, state, block_r)
+    out, idx = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_pad=n_pad, use_sky=use_sky,
+                          exact_argmin=exact_argmin),
         grid=(r_tot // block_r,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_r, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, r_tot), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_tot), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(_smem_bounce(bounce), state, stab, table)
+    return out, idx[0]
+
+
+@functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
+def bounce_replay(table, state, idx, bounce, *, use_sky: bool,
+                  block_r: int = BLOCK_R):
+    """Search-free forward bounce from the saved winner idx [R] i32."""
+    n_pad, r_tot = _check_shapes(table, state, block_r)
+    return pl.pallas_call(
+        functools.partial(_replay_kernel, n_pad=n_pad, use_sky=use_sky),
+        grid=(r_tot // block_r,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -325,24 +513,56 @@ def bounce_step_pallas(table, state, bounce, *, use_sky: bool,
         out_shape=jax.ShapeDtypeStruct((16, r_tot), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
-        interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(bounce, jnp.int32).reshape(1, 1), rays8, state, table)
+        interpret=_interpret(),
+    )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table)
 
 
-def trace_rays_fused(scene: Scene, origins, directions, stream_base,
-                     max_bounces: int, block_r: int = BLOCK_R):
-    """Forward-only fused trace: drop-in for trace_rays (path shading).
+@functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
+def bounce_bwd(table, state, idx, bounce, d_out, *, use_sky: bool,
+               block_r: int = BLOCK_R):
+    """Reverse of one bounce: (state_in, saved idx, d_state_out)
+    -> (d_state_in [16,R], d_table [16,N])."""
+    n_pad, r_tot = _check_shapes(table, state, block_r)
+    d_state, d_table = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_pad=n_pad, use_sky=use_sky),
+        grid=(r_tot // block_r,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # d_table is revisited by every grid step (accumulation), which
+            # requires the sequential ("arbitrary") grid below
+            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, r_tot), jnp.float32),
+            jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table, d_out)
+    return d_state, d_table
 
-    -> (color [R,3], rays_cast [R] u32). Requires a sphere-only scene with
-    n_pad <= 1024. rays_cast accumulates sum(alive) at the top of each
-    bounce, matching the reference counter (main.cpp:390).
-    """
-    assert scene.tris is None, "fused path is sphere-only; use backend='jnp'"
+
+# ---------------------------------------------------------------------------
+# trace-level API
+# ---------------------------------------------------------------------------
+
+def _init_state(origins, directions, stream_base, block_r: int):
     r = origins.shape[0]
     r_pad = -(-r // block_r) * block_r
-    pad = r_pad - r
-
-    table = scene_table(scene)
     st = jnp.zeros((16, r_pad), jnp.float32)
     st = st.at[0:3, :r].set(origins.T)
     st = st.at[3:6, :r].set(directions.T)
@@ -350,16 +570,126 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     st = st.at[12, :r].set(1.0)
     st = st.at[13, :r].set(jax.lax.bitcast_convert_type(
         stream_base, jnp.float32))
-    del pad
+    return st, r, r_pad
+
+
+def trace_rays_fused(scene: Scene, origins, directions, stream_base,
+                     max_bounces: int, block_r: int = BLOCK_R,
+                     exact_argmin: bool = False):
+    """Forward-only fused trace: drop-in for trace_rays (path shading).
+
+    -> (color [R,3], rays_cast [R] u32). Requires a sphere-only scene with
+    n_pad <= 1024. rays_cast accumulates sum(alive) at the top of each
+    bounce, matching the reference counter (main.cpp:390). For the
+    differentiable path use `make_fused_sample`.
+    """
+    assert scene.tris is None, "fused path is sphere-only; use backend='jnp'"
+    table = scene_table(scene)
+    stab = search_table(scene)
+    st, r, r_pad = _init_state(origins, directions, stream_base, block_r)
 
     def bounce(carry, b):
         st, rays = carry
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-        st = bounce_step_pallas(table, st, b, use_sky=scene.use_sky,
-                                block_r=block_r)
+        st, _ = bounce_fwd(table, stab, st, b, use_sky=scene.use_sky,
+                           block_r=block_r, exact_argmin=exact_argmin)
         return (st, rays), None
 
     (st, rays), _ = jax.lax.scan(
         bounce, (st, jnp.zeros((r_pad,), jnp.uint32)),
         jnp.arange(max_bounces, dtype=jnp.int32))
     return st[9:12, :r].T, rays[:r]
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
+                      block_r: int = BLOCK_R, exact_argmin: bool = False):
+    """Differentiable fused sample: (scene, camera, pixel, s)
+    -> (color_sum [R,3], rays_cast [R] u32), with a custom VJP.
+
+    The forward runs raygen (XLA) + the fused bounce scan, saving ONLY the
+    [B, R_pad] i16 winner-index stack (3 B/ray/bounce with the mask folded
+    in as -1 — the 'save_hits' residual budget). The backward re-derives
+    rays from the camera, replays the per-bounce input states with the
+    search-free kernel, then runs the reverse bounce sweep, accumulating
+    d_table on the MXU; scene cotangents flow through scene_table's concat
+    transpose, camera cotangents through raygen's VJP in XLA.
+    """
+    from tpu_ray.ops.raygen import camera_rays
+
+    def _forward(scene, camera, pixel, s):
+        o, d, base = camera_rays(camera, width, height, pixel, s, seed)
+        table = scene_table(scene)
+        stab = search_table(scene)
+        st, r, r_pad = _init_state(o, d, base, block_r)
+
+        def body(carry, b):
+            st, rays = carry
+            rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
+            st, idx = bounce_fwd(table, stab, st, b, use_sky=scene.use_sky,
+                                 block_r=block_r, exact_argmin=exact_argmin)
+            return (st, rays), idx.astype(jnp.int16)
+
+        (st, rays), idx_stack = jax.lax.scan(
+            body, (st, jnp.zeros((r_pad,), jnp.uint32)),
+            jnp.arange(max_bounces, dtype=jnp.int32))
+        return st[9:12, :r].T, rays[:r], idx_stack
+
+    @jax.custom_vjp
+    def fused_sample(scene, camera, pixel, s):
+        color, rays, _ = _forward(scene, camera, pixel, s)
+        return color, rays
+
+    def fwd(scene, camera, pixel, s):
+        color, rays, idx_stack = _forward(scene, camera, pixel, s)
+        return (color, rays), (scene, camera, pixel, s, idx_stack)
+
+    def bwd(res, cts):
+        scene, camera, pixel, s, idx_stack = res
+        d_color, _ = cts                      # rays_cast is integer: no ct
+
+        def rg(cam):
+            o, d, _ = camera_rays(cam, width, height, pixel, s, seed)
+            return o, d
+
+        (o, d), rg_vjp = jax.vjp(rg, camera)
+        base = camera_rays(camera, width, height, pixel, s, seed)[2]
+        table, table_vjp = jax.vjp(scene_table, scene)
+        st0, r, r_pad = _init_state(o, d, base, block_r)
+        bounces = jnp.arange(max_bounces, dtype=jnp.int32)
+        idx_stack = idx_stack.astype(jnp.int32)
+
+        # replay: per-bounce INPUT states, stacked [B,16,R_pad] (transient —
+        # only live inside this sample's backward)
+        def rbody(st, binfo):
+            b, idx = binfo
+            st2 = bounce_replay(table, st, idx, b, use_sky=scene.use_sky,
+                                block_r=block_r)
+            return st2, st
+
+        _, states = jax.lax.scan(rbody, st0, (bounces, idx_stack))
+
+        d_st = jnp.zeros((16, r_pad), jnp.float32)
+        d_st = d_st.at[9:12, :r].set(d_color.T)
+
+        def bbody(carry, binfo):
+            d_st, d_table = carry
+            b, idx, st_in = binfo
+            d_in, d_tab = bounce_bwd(table, st_in, idx, b, d_st,
+                                     use_sky=scene.use_sky, block_r=block_r)
+            return (d_in, d_table + d_tab), None
+
+        (d_st0, d_table), _ = jax.lax.scan(
+            bbody, (d_st, jnp.zeros_like(table)),
+            (bounces, idx_stack, states), reverse=True)
+
+        d_o = d_st0[0:3, :r].T
+        d_d = d_st0[3:6, :r].T
+        (d_camera,) = rg_vjp((d_o, d_d))
+        d_scene = table_vjp(d_table)[0]
+        return (d_scene, d_camera,
+                np.zeros(pixel.shape, dtype=jax.dtypes.float0),
+                np.zeros(jnp.shape(s), dtype=jax.dtypes.float0))
+
+    fused_sample.defvjp(fwd, bwd)
+    return fused_sample
