@@ -77,3 +77,59 @@ def test_icosphere_counts():
     assert len(f) == 20 * 4 ** 2
     # all vertices on the unit sphere
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-6)
+
+
+# --- Pallas Möller-Trumbore (kernels/tri_intersect.py) -------------------
+
+def test_tri_pallas_matches_jnp_search():
+    import jax
+    from tpu_ray.kernels.tri_intersect import nearest_hit_tri_pallas
+    from tpu_ray.ops.intersect_tri import nearest_hit_tri_jnp
+    from tpu_ray.ops.raygen import camera_rays
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    px = jnp.arange(48 * 32, dtype=jnp.int32)
+    o, d, _ = camera_rays(cam, 48, 32, px, 0, 0)
+    h0 = nearest_hit_tri_jnp(scene.tris, o, d)
+    for exact in (False, True):
+        h1 = nearest_hit_tri_pallas(scene.tris, o, d, exact=exact)
+        same_idx = np.asarray(h0.idx) == np.asarray(h1.idx)
+        # MXU-bilinear barycentrics can flip near-edge winners (module
+        # docstring); hit/miss and winners must agree on ~all rays
+        assert same_idx.mean() > 0.995, (exact, same_idx.mean())
+        hit0 = np.asarray(h0.t) < 1e29
+        hit1 = np.asarray(h1.t) < 1e29
+        assert (hit0 == hit1).mean() > 0.995
+        both = same_idx & hit0 & hit1
+        np.testing.assert_allclose(np.asarray(h1.t)[both],
+                                   np.asarray(h0.t)[both],
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_tri_pallas_render_parity():
+    from tpu_ray.models.path_tracer import render_pass
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    kw = dict(width=48, height=32, spp=1, sample_start=0)
+    i0, r0 = render_pass(scene, cam, backend="jnp", **kw)
+    i1, r1 = render_pass(scene, cam, backend="pallas", **kw)
+    match = np.abs(np.asarray(i1) - np.asarray(i0)).max(axis=-1) < 1e-5
+    assert match.mean() > 0.97, match.mean()
+    assert float(np.abs(np.asarray(i1) - np.asarray(i0)).mean()) < 2e-3
+
+
+def test_tri_pallas_large_mesh_exact_path():
+    # m_pad > _PACK_MAX_M exercises the exact two-reduction carry tiles
+    import jax
+    from tpu_ray.core.trimesh import icosphere, pack_triangles
+    from tpu_ray.kernels.tri_intersect import nearest_hit_tri_pallas
+    from tpu_ray.ops.intersect_tri import nearest_hit_tri_jnp
+    verts, faces = icosphere(subdivisions=4)   # 5120 tris
+    tris = pack_triangles(verts, faces, (0.5, 0.5, 0.5))
+    o = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (256, 3)),
+                    jnp.float32)
+    d = o * 0.0
+    d = d.at[:, 2].set(1.0)
+    h0 = nearest_hit_tri_jnp(tris, o, d)
+    h1 = nearest_hit_tri_pallas(tris, o, d)
+    assert (np.asarray(h0.idx) == np.asarray(h1.idx)).mean() > 0.98

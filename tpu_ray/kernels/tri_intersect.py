@@ -1,0 +1,247 @@
+"""Pallas Möller–Trumbore nearest-hit, recast as MXU bilinear forms.
+
+BASELINE config 4 ("Möller–Trumbore in Pallas, ~10k tris, 1080p"). The
+standard formulation (ops/intersect_tri.py, Möller–Trumbore 1997) spends
+~40 VPU ops per (triangle, ray) pair on two cross products and three dot
+products. On TPU almost all of that moves to the MXU: by Cramer's rule the
+four scalars of the test are TRILINEAR in (o - v0, d, edges), and with the
+triangle fixed each is an affine function of the per-ray monomials
+[o, d, o⊗d, 1] — a 16-vector:
+
+    det   = -n.d                      n = e1 x e2
+    t*det =  n.o - n.v0
+    u*det =  sum_jk (E2x)_kj o_j d_k - (e2 x v0).d      E2x = [e2]_x
+    v*det = -sum_jk (E1x)_kj o_j d_k - (v0 x e1).d
+
+so one [M,16] coefficient table per scalar and four K=16 MXU matmuls
+against the in-VMEM feature block [16, BR] replace all pairwise cross
+products; the VPU keeps only the sign-folded barycentric tests, one
+reciprocal, and the packed argmin (~19 ops/pair). Orientation and argmin
+machinery are shared with the sphere search (kernels/sphere_intersect.py):
+triangles on sublanes, rays on lanes, sublane min-reduce, packed
+(t | index) carry across triangle tiles with the exact two-reduction
+fallback for large M.
+
+Numerics: u*det / v*det are differences of O(|o||e|) terms instead of the
+reference's pre-subtracted (o - v0), so barycentrics near edges carry
+~1e-4 relative error at world scale — near-edge winners can flip vs the
+jnp path (tested statistically, like the sphere backends); the
+differentiable payload is still recomputed exactly from the winner
+(ops/intersect_tri.tri_payload), so gradients are unaffected.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ray.core.scene import F32_EPS, F32_MAX
+from tpu_ray.core.trimesh import Triangles
+from tpu_ray.ops.intersect import Hit
+from tpu_ray.ops.intersect_tri import _DET_EPS
+
+BLOCK_R = 2048   # rays per grid step (lane-major)
+BLOCK_M = 1024   # triangles per VMEM tile (sublane-major)
+_PACK_MAX_M = 2048
+_I32_MAX = 2**31 - 1
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _cross_mat(a):
+    """[M,3] -> [M,3,3] cross-product matrices [a]_x with (a x b) = A @ b."""
+    z = jnp.zeros_like(a[:, 0])
+    return jnp.stack([
+        jnp.stack([z, -a[:, 2], a[:, 1]], axis=1),
+        jnp.stack([a[:, 2], z, -a[:, 0]], axis=1),
+        jnp.stack([-a[:, 1], a[:, 0], z], axis=1),
+    ], axis=1)
+
+
+def tri_search_tables(tris: Triangles):
+    """-> [M, 64] coefficient table: four [M,16] blocks (det, t*det, u*det,
+    v*det) against the ray features [o, d, o (x) d (j-major), 1]."""
+    v0 = jax.lax.stop_gradient(tris.v0)
+    e1 = jax.lax.stop_gradient(tris.e1)
+    e2 = jax.lax.stop_gradient(tris.e2)
+    m = v0.shape[0]
+    n = jnp.cross(e1, e2)
+    z3 = jnp.zeros((m, 3), jnp.float32)
+    z9 = jnp.zeros((m, 9), jnp.float32)
+    z1 = jnp.zeros((m, 1), jnp.float32)
+
+    def block(o_c, d_c, w_c, k_c):
+        return jnp.concatenate([o_c, d_c, w_c, k_c], axis=1)   # [M,16]
+
+    # coef(w_jk) = (E2x)_kj  -> flatten j-major: w index = 3*j + k
+    e2x_t = jnp.transpose(_cross_mat(e2), (0, 2, 1)).reshape(m, 9)
+    e1x_t = jnp.transpose(_cross_mat(e1), (0, 2, 1)).reshape(m, 9)
+
+    det_t = block(z3, -n, z9, z1)
+    t_t = block(n, z3, z9, -jnp.sum(n * v0, axis=1, keepdims=True))
+    u_t = block(z3, -jnp.cross(e2, v0), e2x_t, z1)
+    v_t = block(z3, -jnp.cross(v0, e1), -e1x_t, z1)
+    return jnp.concatenate([det_t, t_t, u_t, v_t], axis=1)     # [M,64]
+
+
+def _features(o, d):
+    """[3,BR] o/d slices -> [16,BR] feature block [o, d, o(x)d j-major, 1]."""
+    w = [o[j:j + 1, :] * d[k:k + 1, :] for j in range(3) for k in range(3)]
+    one = jnp.ones_like(o[0:1, :])
+    return jnp.concatenate([o, d, *w, one], axis=0)
+
+
+def _tri_t(tab_ref, feats):
+    """[Mt,64] coefficient tile x [16,BR] features -> shifted valid-t
+    [Mt,BR] (t - eps; <= 0 or F32_MAX-shifted where invalid)."""
+    f32 = jnp.float32
+    det = jnp.dot(tab_ref[:, 0:16], feats, preferred_element_type=f32,
+                  precision=_HIGHEST)
+    t_d = jnp.dot(tab_ref[:, 16:32], feats, preferred_element_type=f32,
+                  precision=_HIGHEST)
+    u_d = jnp.dot(tab_ref[:, 32:48], feats, preferred_element_type=f32,
+                  precision=_HIGHEST)
+    v_d = jnp.dot(tab_ref[:, 48:64], feats, preferred_element_type=f32,
+                  precision=_HIGHEST)
+
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    absdet = det * s
+    us = u_d * s
+    vs = v_d * s
+    t = t_d * (1.0 / jnp.where(absdet > _DET_EPS, det, 1.0))
+    valid = ((absdet > _DET_EPS) & (us >= 0.0) & (vs >= 0.0)
+             & (us + vs <= absdet) & (t > F32_EPS))
+    return jnp.where(valid, t - F32_EPS, F32_MAX)
+
+
+def _kernel_packed(ot_ref, dt_ref, tab_ref, t_out, idx_out, carry_s, *,
+                   n_tiles: int, block_m: int, idx_bits: int):
+    j = pl.program_id(1)
+    tb = _tri_t(tab_ref, _features(ot_ref[:], dt_ref[:]))
+    low_mask = (1 << idx_bits) - 1
+    rows = (jax.lax.broadcasted_iota(jnp.int32, tb.shape, 0) + j * block_m)
+    bits = pltpu.bitcast(tb, jnp.uint32)
+    packed = (bits & jnp.uint32(~low_mask & 0xFFFFFFFF)) | pltpu.bitcast(
+        rows, jnp.uint32)
+    ps = pltpu.bitcast(packed ^ jnp.uint32(0x80000000), jnp.int32)
+    pmin = jnp.min(ps, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        carry_s[:] = pmin
+
+    @pl.when(j > 0)
+    def _():
+        carry_s[:] = jnp.minimum(carry_s[:], pmin)
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        pminu = pltpu.bitcast(carry_s[:], jnp.uint32) ^ jnp.uint32(0x80000000)
+        idx = pltpu.bitcast(pminu & jnp.uint32(low_mask), jnp.int32)
+        tb_min = pltpu.bitcast(
+            pminu & jnp.uint32(~low_mask & 0xFFFFFFFF), jnp.float32)
+        miss_bits = int(np.float32(F32_MAX).view(np.uint32)) & (
+            ~low_mask & 0xFFFFFFFF)
+        miss_s = np.uint32(miss_bits ^ 0x80000000).astype(np.int32)
+        hit = carry_s[:] < jnp.int32(miss_s)
+        t_out[:] = jnp.where(hit, tb_min + F32_EPS, F32_MAX)
+        idx_out[:] = jnp.where(hit, idx, 0)
+
+
+def _kernel_exact(ot_ref, dt_ref, tab_ref, t_out, idx_out, tmin_s, idx_s, *,
+                  n_tiles: int, block_m: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        tmin_s[:] = jnp.full_like(tmin_s, F32_MAX)
+        idx_s[:] = jnp.zeros_like(idx_s)
+
+    tb = _tri_t(tab_ref, _features(ot_ref[:], dt_ref[:]))
+    tv = jnp.where(tb < F32_MAX, tb + F32_EPS, F32_MAX)
+    tile_tmin = jnp.min(tv, axis=0, keepdims=True)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, tv.shape, 0) + j * block_m)
+    cand = jnp.where(tv == tile_tmin, rows, jnp.int32(_I32_MAX))
+    tile_idx = jnp.min(cand, axis=0, keepdims=True)
+
+    better = tile_tmin < tmin_s[:]
+    idx_s[:] = jnp.where(better, tile_idx, idx_s[:])
+    tmin_s[:] = jnp.where(better, tile_tmin, tmin_s[:])
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        t_out[:] = tmin_s[:]
+        idx_out[:] = idx_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "block_m", "exact"))
+def nearest_hit_tri_pallas(tris: Triangles, origin, direction,
+                           block_r: int = BLOCK_R,
+                           block_m: int = BLOCK_M,
+                           exact: bool = False) -> Hit:
+    """Drop-in Pallas replacement for nearest_hit_tri_jnp.
+
+    origin/direction [R,3] -> Hit([R]) over tris.n_pad triangles.
+    """
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+
+    m = tris.v0.shape[0]
+    r = origin.shape[0]
+    block_m = min(block_m, max(8, -(-m // 8) * 8))
+    m_pad = -(-m // block_m) * block_m
+    r_pad = -(-r // block_r) * block_r
+
+    tab = tri_search_tables(tris)                     # [M,64]
+    # padding triangles: e1 = e2 = 0 => all coefficient rows 0 => det = 0
+    tab = jnp.pad(tab, ((0, m_pad - m), (0, 0)))
+
+    ot = jnp.pad(origin, ((0, r_pad - r), (0, 0))).T
+    dt = jnp.pad(direction, ((0, r_pad - r), (0, 0))).T
+
+    n_ray_blocks = r_pad // block_r
+    n_tiles = m_pad // block_m
+    use_packed = (not exact) and m_pad <= _PACK_MAX_M
+
+    if use_packed:
+        idx_bits = max(1, (m_pad - 1).bit_length())
+        kernel = functools.partial(_kernel_packed, n_tiles=n_tiles,
+                                   block_m=block_m, idx_bits=idx_bits)
+        scratch = [pltpu.VMEM((1, block_r), jnp.int32)]
+    else:
+        kernel = functools.partial(_kernel_exact, n_tiles=n_tiles,
+                                   block_m=block_m)
+        scratch = [pltpu.VMEM((1, block_r), jnp.float32),
+                   pltpu.VMEM((1, block_r), jnp.int32)]
+
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_ray_blocks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((3, block_r), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_r), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 64), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_r), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=jax.default_backend() == "cpu",
+    )(ot, dt, tab)
+
+    return Hit(t=t[0, :r], idx=idx[0, :r])

@@ -56,20 +56,26 @@ def _name_hit(hit, n_prim: int):
 
 
 def _with_triangles(scene: Scene, origins, directions,
-                    sphere_payload: Payload, tri_tables=None) -> Payload:
+                    sphere_payload: Payload, tri_tables=None,
+                    tri_backend: str = "jnp") -> Payload:
     """Combine the sphere payload with the triangle soup's nearest hit.
 
     No-op for sphere-only scenes (scene.tris is None — a static property, so
     the branch is resolved at trace time). Triangle ids are offset by the
-    sphere count into one global primitive id space.
+    sphere count into one global primitive id space. tri_backend selects the
+    Möller-Trumbore search implementation (jnp, or the MXU-bilinear Pallas
+    kernel, kernels/tri_intersect.py).
     """
     if scene.tris is None:
         return sphere_payload
-    from tpu_ray.ops.intersect_tri import (merge_payloads,
-                                           nearest_hit_tri_jnp, tri_payload)
-    hit, mask = _name_hit(nearest_hit_tri_jnp(scene.tris, origins,
-                                               directions),
-                          scene.tris.n_pad)
+    from tpu_ray.ops.intersect_tri import merge_payloads, tri_payload
+    if tri_backend == "pallas":
+        from tpu_ray.kernels.tri_intersect import nearest_hit_tri_pallas
+        raw = nearest_hit_tri_pallas(scene.tris, origins, directions)
+    else:
+        from tpu_ray.ops.intersect_tri import nearest_hit_tri_jnp
+        raw = nearest_hit_tri_jnp(scene.tris, origins, directions)
+    hit, mask = _name_hit(raw, scene.tris.n_pad)
     tp = tri_payload(scene.tris, origins, directions, hit, tables=tri_tables,
                      hit_mask=mask)
     return merge_payloads(sphere_payload, tp, scene.n_pad)
@@ -88,7 +94,7 @@ def probe_jnp(scene: Scene, origins, directions, tables=None,
 
 def probe_pallas(scene: Scene, origins, directions, tables=None,
                  tri_tables=None) -> Payload:
-    """Pallas-backend probe: VMEM-tiled search kernel + payload recompute."""
+    """Pallas-backend probe: VMEM-tiled search kernels + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
     hit, mask = _name_hit(nearest_hit_pallas(scene.center, scene.radius,
                                              origins, directions),
@@ -96,7 +102,7 @@ def probe_pallas(scene: Scene, origins, directions, tables=None,
     p = hit_payload(scene, origins, directions, hit, tables=tables,
                     hit_mask=mask)
     return _with_triangles(scene, origins, directions, p,
-                           tri_tables=tri_tables)
+                           tri_tables=tri_tables, tri_backend="pallas")
 
 
 def probe_fn_for_backend(backend: str) -> ProbeFn:
