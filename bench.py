@@ -51,9 +51,15 @@ def bench_scaling(args, scene, camera, kw):
     from tpu_ray.parallel import make_mesh, render_pass_sharded, shard_scene
 
     n_dev = len(jax.devices())
+    # full power-of-two sweep (1/2/4/8/...): per-n rays/s characterizes how
+    # host-side orchestration overhead grows with shard count — the risk
+    # SURVEY.md §7 names — even where per-device efficiency is meaningless
+    # (virtual CPU devices share physical cores)
+    sweep = sorted({1, n_dev} | {2 ** k for k in range(1, 30)
+                                 if 2 ** k < n_dev})
     results = {}
-    for n in [1, n_dev]:
-        if n in results:
+    for n in sweep:
+        if n in results or args.width * args.height % n:
             continue
         mesh = make_mesh((n,))
         s = shard_scene(scene, mesh)
@@ -82,8 +88,7 @@ def bench_scaling(args, scene, camera, kw):
         "value": round(eff, 4),
         "unit": "fraction",
         "vs_baseline": round(eff / 0.85, 4),
-        "rays_per_s_1dev": round(results[1], 1),
-        f"rays_per_s_{n_dev}dev": round(results[n_dev], 1),
+        **{f"rays_per_s_{n}dev": round(v, 1) for n, v in results.items()},
     }))
     return None
 

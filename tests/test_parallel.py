@@ -56,3 +56,19 @@ def test_multihost_noop_single_process():
     # single process, no coordinator env -> no-op
     assert ensure_initialized() is False
     assert jax.process_count() == 1
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_trimesh_sharded_over_primitives(mesh_shape):
+    # VERDICT r1 item 10: the primitive axis covers the triangle soup too —
+    # each shard searches its sphere AND triangle slices, global ids follow
+    # the unsharded [spheres | triangles] convention
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    img0, rays0 = render_pass(scene, cam, **KW)
+    mesh = make_mesh(mesh_shape)
+    s = shard_scene(scene, mesh)
+    img, rays = render_pass_sharded(s, cam, mesh=mesh, **KW)
+    assert int(rays) == int(rays0)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
+                               rtol=1e-6, atol=1e-7)

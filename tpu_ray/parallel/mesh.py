@@ -40,19 +40,27 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
 def scene_pspec(scene: Scene, sphere_axis: Optional[str]) -> Scene:
     """PartitionSpec pytree matching `scene`'s structure.
 
-    The six per-sphere arrays shard over `sphere_axis` (or replicate when
-    None); everything else (look_at, triangle soup) replicates. The scene is
-    tiny, so full replication is the default — sphere sharding exists for the
+    The per-sphere arrays AND the triangle soup shard over `sphere_axis`
+    (a generic primitive axis; or replicate when None); everything else
+    (look_at, camera defaults) replicates. The scene is tiny, so full
+    replication is the default — primitive sharding exists for the
     huge-scene regime (SURVEY.md §5.7).
     """
     # explicit by field name (NOT by leading-dim shape matching, which would
     # mis-shard a triangle array whose padded length collides with n_pad)
     sharded = P(sphere_axis) if sphere_axis else P()
     replicated = jax.tree_util.tree_map(lambda _: P(), scene)
-    return dataclasses.replace(
+    out = dataclasses.replace(
         replicated,
         **{f: sharded for f in ("center", "radius", "albedo", "emissive",
                                 "specular", "ior")})
+    if scene.tris is not None:
+        tris = dataclasses.replace(
+            replicated.tris,
+            **{f: sharded for f in ("v0", "e1", "e2", "albedo", "emissive",
+                                    "specular", "ior")})
+        out = dataclasses.replace(out, tris=tris)
+    return out
 
 
 def shard_scene(scene: Scene, mesh: Mesh) -> Scene:

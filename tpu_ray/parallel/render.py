@@ -30,26 +30,45 @@ from tpu_ray.parallel.mesh import RAY_AXIS, SPHERE_AXIS, scene_pspec
 
 def probe_sphere_sharded(scene_local: Scene, origins, directions,
                          axis: str = SPHERE_AXIS) -> Payload:
-    """Nearest-hit probe when the sphere arrays are sharded over `axis`.
+    """Nearest-hit probe when the primitive arrays (spheres AND the
+    triangle soup, if any) are sharded over `axis`.
 
-    Each device searches its own sphere slice and computes the (differentiable)
-    payload for its local winner — O(R) work — then the global winner is
-    selected by an all_gather of per-shard minima + argmin over the shard
-    axis. Communication is O(R * payload) and independent of scene size: this
-    is the ring-reduce-over-hit-records design from SURVEY.md §5.7.
+    Each device searches its own primitive slice and computes the
+    (differentiable) payload for its local winner — O(R) work — then the
+    global winner is selected by an all_gather of per-shard minima + argmin
+    over the shard axis. Communication is O(R * payload) and independent of
+    scene size: this is the ring-reduce-over-hit-records design from
+    SURVEY.md §5.7.
 
     Tie-breaking matches the reference's argmin-lowest-index rule
     (main.cpp:432-443): shards hold contiguous ascending sphere blocks, so
     (shard, local-argmin) lexicographic order == global lowest index.
+    The global primitive-id space is [all shards' spheres | all shards'
+    triangles], so ids match the unsharded convention (spheres first).
     """
     hit = nearest_hit_jnp(scene_local.center, scene_local.radius,
                           origins, directions)
     p = hit_payload(scene_local, origins, directions, hit)
-    # local -> global sphere index (shards hold contiguous ascending blocks)
     n_local = scene_local.center.shape[0]
-    p = p._replace(idx=p.idx + jax.lax.axis_index(axis) * n_local)
+    shard = jax.lax.axis_index(axis)
+    n_shards = jax.lax.psum(jnp.ones((), jnp.int32), axis)
+    # local -> global sphere index (shards hold contiguous ascending blocks)
+    p = p._replace(idx=p.idx + shard * n_local)
+    t_local = jax.lax.stop_gradient(hit.t)
 
-    t_all = jax.lax.all_gather(jax.lax.stop_gradient(hit.t), axis)  # [S, R]
+    if scene_local.tris is not None:
+        from tpu_ray.ops.intersect_tri import (merge_payloads,
+                                               nearest_hit_tri_jnp,
+                                               tri_payload)
+        th = nearest_hit_tri_jnp(scene_local.tris, origins, directions)
+        tp = tri_payload(scene_local.tris, origins, directions, th)
+        m_local = scene_local.tris.n_pad
+        # triangle global ids sit after every shard's spheres
+        tri_base = n_local * n_shards + shard * m_local
+        p = merge_payloads(p, tp, tri_base)
+        t_local = jnp.minimum(t_local, jax.lax.stop_gradient(th.t))
+
+    t_all = jax.lax.all_gather(t_local, axis)                       # [S, R]
     win = jnp.argmin(t_all, axis=0)                                 # [R]
 
     def select(x):
@@ -85,9 +104,8 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
         n_sph = mesh.shape[SPHERE_AXIS]
         assert scene.n_pad % n_sph == 0, (scene.n_pad, n_sph)
         assert backend != "fused", "fused backend needs the full sphere axis"
-        assert scene.tris is None, (
-            "sphere-axis sharding does not intersect triangle soups yet; "
-            "use a 1D ('rays',) mesh for trimesh scenes")
+        if scene.tris is not None:
+            assert scene.tris.n_pad % n_sph == 0, (scene.tris.n_pad, n_sph)
         probe = partial(probe_sphere_sharded, axis=SPHERE_AXIS)
     else:
         probe = probe_fn_for_backend(backend)
