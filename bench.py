@@ -99,8 +99,10 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--scene", default="rtweekend")
-    ap.add_argument("--backend", default="jnp",
-                    choices=["jnp", "pallas", "fused"])
+    ap.add_argument("--backend", default="fused",
+                    choices=["jnp", "pallas", "fused"],
+                    help="fused = custom-VJP Pallas bounce kernels (both "
+                         "sweeps), the headline path")
     ap.add_argument("--mode", default="fwd+bwd",
                     choices=["fwd", "fwd+bwd", "scaling"])
     ap.add_argument("--max-bounces", type=int, default=5)
