@@ -88,31 +88,77 @@ def test_exact_argmin_matches_packed_on_winners():
     assert same.mean() > 0.995, same.mean()
 
 
-def test_fused_grads_match_jnp():
-    # the round-2 deliverable: the custom-VJP fused path (forward Pallas +
-    # saved-hit replay backward, SURVEY.md §7 step 4) produces the same
-    # scene/camera gradients as the jnp backend
+def test_table_chunks_exact_reconstruction_traced():
+    # The bf16 chunk table must reconstruct the f32 table BITWISE with the
+    # table as a traced jit argument — the configuration where XLA's
+    # excess-precision simplifier rewrote the old rounding-based split's
+    # convert_f32(convert_bf16(x)) round-trip to x on TPU, zeroing the
+    # residual chunks (c2 = c3 = 0) and silently degrading every winner
+    # gather to bf16. The truncation-based _split3_bf16 is immune; this
+    # pins the property (and the TPU verify recipe re-checks on-device).
+    import jax
+    from tpu_ray.kernels.bounce_step import scene_table, table_chunks
+    for name in ("rgb", "rtweekend"):
+        t = np.asarray(scene_table(make_scene(name)))
+        ch = np.asarray(jax.jit(table_chunks)(jnp.asarray(t)),
+                        dtype=np.float32)
+        recon = ch[0:16] + ch[16:32] + ch[32:48]
+        assert (recon == t).all(), name
+        assert np.abs(ch[16:32]).max() > 0, "residual chunks collapsed"
+
+
+def _backend_grads(scene, cam, W, H, spp, backend, sample_start=0):
     import jax
     from tpu_ray.grad import image_mse, render_mean
-    scene = make_scene("rtweekend")
-    cam = default_camera(scene)
-    W = H = 16
     target = jnp.zeros((H, W, 3), jnp.float32)
 
-    def grads(backend):
-        def f(s, c):
-            return image_mse(
-                render_mean(s, c, width=W, height=H, spp=2, backend=backend),
-                target)
-        return jax.jit(jax.grad(f, argnums=(0, 1)))(scene, cam)
+    def f(s, c):
+        return image_mse(
+            render_mean(s, c, width=W, height=H, spp=spp, backend=backend,
+                        sample_start=sample_start), target)
 
-    g0 = grads("jnp")
-    g1 = grads("fused")
-    la, lb = jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g0)
-    for a, b in zip(la, lb):
+    return jax.jit(jax.grad(f, argnums=(0, 1)))(scene, cam)
+
+
+def test_fused_grads_exact_on_flip_free_scene():
+    # the round-2 deliverable: the custom-VJP fused path (forward Pallas +
+    # saved-hit replay backward, SURVEY.md §7 step 4) produces the same
+    # scene/camera gradients as the jnp backend. On the rgb scene (5 well-
+    # separated spheres: no near-tie winners, so both backends pick
+    # identical paths) parity is essentially BITWISE — this pins the whole
+    # trace-level wiring (multi-sample scan, sample_start, raygen VJP,
+    # d_table accumulation) with no statistical slack.
+    import jax
+    scene = make_scene("rgb")
+    cam = default_camera(scene)
+    g0 = _backend_grads(scene, cam, 32, 32, 3, "jnp", sample_start=5)
+    g1 = _backend_grads(scene, cam, 32, 32, 3, "fused", sample_start=5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
         a, b = np.asarray(a), np.asarray(b)
-        np.testing.assert_allclose(
-            a, b, rtol=2e-3, atol=1e-7 + 1e-4 * max(1e-30, np.abs(b).max()))
+        assert np.linalg.norm(a - b) <= 1e-6 * (np.linalg.norm(b) + 1e-30)
+
+
+def test_fused_grads_match_jnp_statistically():
+    # rtweekend: the packed search's rounding differs from jnp's projection
+    # form, so near-tie winners flip on a handful of rays — those carry
+    # legitimately different path gradients. Everything off the flipped
+    # paths must match tightly.
+    import jax
+    scene = make_scene("rtweekend")
+    cam = default_camera(scene)
+    g0 = _backend_grads(scene, cam, 48, 32, 2, "jnp")
+    g1 = _backend_grads(scene, cam, 48, 32, 2, "fused")
+    # judge element-wise over the CONCATENATED gradient (tiny leaves like
+    # camera.position have 3 elements — a single flipped path can move all
+    # of them, so per-leaf fractions are meaningless there)
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g1)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g0)])
+    tol = 1e-7 + 2e-3 * np.abs(b) + 1e-4 * max(1e-30, np.abs(b).max())
+    ok = np.abs(a - b) <= tol
+    assert ok.mean() > 0.98, ok.mean()
     assert float(np.linalg.norm(np.asarray(g1[0].center))) > 0
 
 

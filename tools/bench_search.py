@@ -13,6 +13,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# NOTE: the repo root must join sys.path AFTER `import jax` — having it on
+# PYTHONPATH at interpreter start breaks the axon TPU plugin's registration
+# (a module shadow), leaving only cpu/tpu backends.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()

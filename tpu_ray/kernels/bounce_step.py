@@ -52,8 +52,9 @@ State channel layout [16, R] (f32; ch 13 is u32 bitcast):
 Shading table layout [16, N] (`scene_table`):
    0-2 center, 3 radius, 4-6 albedo, 7-9 emissive, 10 specular, 11 ior,
    12-15 unused.
-Search table layout [N, 8] (`search_table`, stop-gradient by construction):
-   0-2 center, 3-5 -2*center, 6 |c|^2 - r^2, 7 unused.
+Search table layout [2N, 16] (`search_table`, stop-gradient by
+construction): stacked tp / q coefficient rows against the ray monomials
+[o, d, o.d, |o|^2, 1] — see `_search`.
 """
 from __future__ import annotations
 
@@ -72,10 +73,42 @@ _I32_MAX = 2**31 - 1
 _MIX_BOUNCE = 0x632BE59B
 _MIX_SLOT = 0xC2B2AE35
 _HIGHEST = jax.lax.Precision.HIGHEST
+# Search-matmul precision must stay ~f32: disc = tp^2 - q needs absolute
+# error << r_min^2 (1.6e-4) against |c|^2 ~ 25 terms, i.e. ~2^-19 relative;
+# single-pass bf16 (DEFAULT) systematically deletes the small grid spheres
+# (round-1 finding) and Mosaic supports no bf16x3 middle tier. The passes
+# are paid ONCE on a stacked [2N,K] operand (see _search) — measured
+# bf16x6 cost was 45% of the forward kernel when run as two matmuls.
+_SEARCH_PREC = jax.lax.Precision.HIGHEST
 
 
 def _u32(x):
     return pltpu.bitcast(x, jnp.uint32)
+
+
+def _split3_bf16(x, bitcast, from_u32):
+    """f32 -> three bf16 chunks that sum back to x EXACTLY.
+
+    Truncation-based: c1/c2 are the top-16-bit TRUNCATIONS of x and of the
+    first residual (pure bit ops; each truncation and each subtraction is
+    exact in f32), leaving a second residual with <= 8 significant bits
+    that bf16 rounding captures exactly in c3.
+
+    Deliberately avoids the textbook `x - x.astype(bf16).astype(f32)`
+    round-trip: XLA's excess-precision simplifier is entitled to rewrite
+    convert_f32(convert_bf16(x)) -> x, which silently collapses the
+    residual chunks to zero (observed on TPU whenever the table is a
+    traced value rather than a constant-folded one — bf16-level geometry
+    error then resurrects dead rays via the inside-sphere rule). Bit-ops
+    give the simplifier nothing value-changing to remove.
+    """
+    mask = jnp.uint32(0xFFFF0000)
+    h1 = from_u32(bitcast(x) & mask)
+    r1 = x - h1
+    h2 = from_u32(bitcast(r1) & mask)
+    r2 = r1 - h2
+    return h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16), \
+        r2.astype(jnp.bfloat16)
 
 
 def _pcg_hash(x):
@@ -256,35 +289,45 @@ def _shade(st, winner, live, sky_mask, rand, use_sky: bool):
 # ---------------------------------------------------------------------------
 
 def _winner_from_idx(table_ref, idx, n_pad):
-    """table [16,N] @ one_hot(idx) [N,BR] on the MXU. idx [1,BR] i32; -1
-    (miss/dead) selects no row -> all-zero winner column."""
+    """Gather as an EXACT 3-pass bf16 matmul: the one-hot operand is
+    bf16-representable (0/1) and the f32 table is pre-split into three
+    bf16 chunks whose sum reconstructs it exactly (8+8+8 mantissa bits),
+    so three DEFAULT-precision passes with f32 accumulation equal the f32
+    gather at half the bf16x6 HIGHEST cost. idx [1,BR] i32; -1 (miss/dead)
+    selects no row -> all-zero winner column."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, idx.shape[1]), 0)
-    onehot = (rows == idx).astype(jnp.float32)
-    winner = jnp.dot(table_ref[:], onehot, preferred_element_type=jnp.float32,
-                     precision=_HIGHEST)
+    onehot = (rows == idx).astype(jnp.bfloat16)
+    w48 = jnp.dot(table_ref[:], onehot, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)     # [48,BR]
+    winner = w48[0:16, :] + w48[16:32, :] + w48[32:48, :]
     return winner, onehot
 
 
 def _search(st, stab_ref, n_pad: int, exact_argmin: bool):
     """Nearest-hit over all spheres, [N,BR] oriented. -> (idx [1,BR] i32,
     hit [1,BR] bool). Winner index only — the differentiable t is recomputed
-    in `_shade` (the recompute-not-save rule, ops/intersect docstring)."""
+    in `_shade` (the recompute-not-save rule, ops/intersect docstring).
+
+    The whole quadratic setup is ONE stacked MXU matmul (K=9 against the
+    per-ray monomials [o, d, o.d, |o|^2, 1]; coefficient rows 0:N produce
+    tp, rows N:2N produce q):
+        tp = c.d - o.d
+        q  = -2 c.o + (|c|^2 - r^2) + |o|^2
+    — the per-ray combine ops disappear into the matmul, and stacking tp/q
+    vertically pays the bf16x6 HIGHEST pass overhead once instead of
+    twice (the passes were 45% of the kernel as two separate dots)."""
     o = st[0:3, :]
     d = st[3:6, :]
     oo = jnp.sum(o * o, axis=0, keepdims=True)       # [1,BR]
     od = jnp.sum(o * d, axis=0, keepdims=True)
+    one = jnp.ones_like(oo)
 
-    c = stab_ref[:, 0:3]                              # [N,3]
-    cm2 = stab_ref[:, 3:6]
-    ccmr = stab_ref[:, 6:7]                           # [N,1]
-
-    dcT = jnp.dot(c, d, preferred_element_type=jnp.float32,
-                  precision=_HIGHEST)                 # [N,BR]
-    m2ocT = jnp.dot(cm2, o, preferred_element_type=jnp.float32,
-                    precision=_HIGHEST)
-
-    tp = dcT - od
-    q = m2ocT + (ccmr + oo)
+    feats = jnp.concatenate([o, d, od, oo, one], axis=0)   # [9,BR]
+    tpq = jnp.dot(stab_ref[:, 0:9], feats,
+                  preferred_element_type=jnp.float32,
+                  precision=_SEARCH_PREC)                  # [2N,BR]
+    tp = tpq[0:n_pad, :]
+    q = tpq[n_pad:2 * n_pad, :]
     disc = tp * tp - q
     x = jnp.sqrt(disc)            # NaN when disc < 0: rejected by the order
     tn = tp - x
@@ -408,10 +451,17 @@ def _bwd_kernel(b_ref, state_ref, idx_ref, table_ref, dout_ref,
             st, winner)
         d_st, d_wn = vjp_fn(dout_ref[:])
         dstate_ref[:] = d_st
-        # gather transpose on the MXU: d_table += d_winner @ one_hot^T
-        dtable_ref[:] = dtable_ref[:] + jax.lax.dot_general(
-            d_wn, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HIGHEST)
+        # gather transpose on the MXU, same exact 3-chunk bf16 scheme:
+        # d_table += d_winner @ one_hot^T with d_winner split at runtime
+        c1, c2, c3 = _split3_bf16(
+            d_wn, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+        d48 = jax.lax.dot_general(
+            jnp.concatenate([c1, c2, c3], axis=0), onehot,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # [48,N]
+        dtable_ref[:] = dtable_ref[:] + (
+            d48[0:16, :] + d48[16:32, :] + d48[32:48, :])
 
 
 # ---------------------------------------------------------------------------
@@ -428,13 +478,36 @@ def scene_table(scene: Scene):
         scene.ior[None, :], zero, zero, zero, zero], axis=0)
 
 
+def table_chunks(table):
+    """f32 [16,N] -> bf16 [48,N]: three stacked bf16 chunks that sum to
+    the f32 table EXACTLY (8+8+8 mantissa bits cover f32's 24) — the
+    operand encoding for the exact 3-pass gathers (_winner_from_idx).
+    Truncation-split (see _split3_bf16) so the residuals survive XLA's
+    excess-precision simplifier when `table` is traced, not constant."""
+    c1, c2, c3 = _split3_bf16(
+        table,
+        lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32),
+        lambda u: jax.lax.bitcast_convert_type(u, jnp.float32))
+    return jnp.concatenate([c1, c2, c3], axis=0)
+
+
 def search_table(scene: Scene):
-    """[N, 8] search constant table (stop-gradient: the search is the
-    non-differentiable discrete selection, ops/intersect docstring)."""
+    """[2N, 16] stacked search coefficient table (stop-gradient: the search
+    is the non-differentiable discrete selection, ops/intersect docstring).
+    Feature order [o(3), d(3), o.d, |o|^2, 1]; rows 0:N are the tp
+    coefficients [0 | c | -1 | 0 | 0], rows N:2N the q coefficients
+    [-2c | 0 | 0 | 1 | |c|^2-r^2] (see _search)."""
     c = jax.lax.stop_gradient(scene.center)          # [N,3]
     r = jax.lax.stop_gradient(scene.radius)
+    n = c.shape[0]
     ccmr = (jnp.sum(c * c, axis=1) - r * r)[:, None]
-    return jnp.concatenate([c, -2.0 * c, ccmr, jnp.zeros_like(ccmr)], axis=1)
+    one = jnp.ones_like(ccmr)
+    zero = jnp.zeros_like(ccmr)
+    z3 = jnp.zeros_like(c)
+    pad7 = jnp.zeros((n, 7), jnp.float32)
+    tp_rows = jnp.concatenate([z3, c, -one, zero, zero, pad7], axis=1)
+    q_rows = jnp.concatenate([-2.0 * c, z3, zero, one, ccmr, pad7], axis=1)
+    return jnp.concatenate([tp_rows, q_rows], axis=0)
 
 
 def _interpret():
@@ -445,8 +518,10 @@ def _smem_bounce(b):
     return jnp.asarray(b, jnp.int32).reshape(1, 1)
 
 
-def _check_shapes(table, state, block_r):
-    n_pad = table.shape[1]
+def _check_shapes(table48, state, block_r):
+    n_pad = table48.shape[1]
+    assert table48.shape[0] == 48 and table48.dtype == jnp.bfloat16, (
+        "kernels take the bf16 chunk table (table_chunks(scene_table(s)))")
     r_tot = state.shape[1]
     assert r_tot % block_r == 0, (r_tot, block_r)
     assert n_pad <= 1024, "single-shot search; use the jnp path beyond 1k"
@@ -455,12 +530,12 @@ def _check_shapes(table, state, block_r):
 
 @functools.partial(jax.jit, static_argnames=("use_sky", "block_r",
                                              "exact_argmin"))
-def bounce_fwd(table, stab, state, bounce, *, use_sky: bool,
+def bounce_fwd(table48, stab, state, bounce, *, use_sky: bool,
                block_r: int = BLOCK_R, exact_argmin: bool = False):
-    """One fused forward bounce. table [16,N], stab [N,8], state [16,R]
-    (R multiple of block_r), bounce [] i32
+    """One fused forward bounce. table48 [48,N] bf16 chunk table,
+    stab [2N,16], state [16,R] (R multiple of block_r), bounce [] i32
     -> (new state [16,R], winner idx [R] i32, -1 = miss/dead)."""
-    n_pad, r_tot = _check_shapes(table, state, block_r)
+    n_pad, r_tot = _check_shapes(table48, state, block_r)
     out, idx = pl.pallas_call(
         functools.partial(_fwd_kernel, n_pad=n_pad, use_sky=use_sky,
                           exact_argmin=exact_argmin),
@@ -469,9 +544,9 @@ def bounce_fwd(table, stab, state, bounce, *, use_sky: bool,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((16, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, 8), lambda i: (0, 0),
+            pl.BlockSpec((2 * n_pad, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((48, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -487,15 +562,15 @@ def bounce_fwd(table, stab, state, bounce, *, use_sky: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(_smem_bounce(bounce), state, stab, table)
+    )(_smem_bounce(bounce), state, stab, table48)
     return out, idx[0]
 
 
 @functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
-def bounce_replay(table, state, idx, bounce, *, use_sky: bool,
+def bounce_replay(table48, state, idx, bounce, *, use_sky: bool,
                   block_r: int = BLOCK_R):
     """Search-free forward bounce from the saved winner idx [R] i32."""
-    n_pad, r_tot = _check_shapes(table, state, block_r)
+    n_pad, r_tot = _check_shapes(table48, state, block_r)
     return pl.pallas_call(
         functools.partial(_replay_kernel, n_pad=n_pad, use_sky=use_sky),
         grid=(r_tot // block_r,),
@@ -505,7 +580,7 @@ def bounce_replay(table, state, idx, bounce, *, use_sky: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((48, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((16, block_r), lambda i: (0, i),
@@ -514,15 +589,15 @@ def bounce_replay(table, state, idx, bounce, *, use_sky: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table)
+    )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table48)
 
 
 @functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
-def bounce_bwd(table, state, idx, bounce, d_out, *, use_sky: bool,
+def bounce_bwd(table48, state, idx, bounce, d_out, *, use_sky: bool,
                block_r: int = BLOCK_R):
     """Reverse of one bounce: (state_in, saved idx, d_state_out)
     -> (d_state_in [16,R], d_table [16,N])."""
-    n_pad, r_tot = _check_shapes(table, state, block_r)
+    n_pad, r_tot = _check_shapes(table48, state, block_r)
     d_state, d_table = pl.pallas_call(
         functools.partial(_bwd_kernel, n_pad=n_pad, use_sky=use_sky),
         grid=(r_tot // block_r,),
@@ -532,7 +607,7 @@ def bounce_bwd(table, state, idx, bounce, d_out, *, use_sky: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((48, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -552,7 +627,7 @@ def bounce_bwd(table, state, idx, bounce, d_out, *, use_sky: bool,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table, d_out)
+    )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table48, d_out)
     return d_state, d_table
 
 
@@ -584,14 +659,14 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     differentiable path use `make_fused_sample`.
     """
     assert scene.tris is None, "fused path is sphere-only; use backend='jnp'"
-    table = scene_table(scene)
+    t48 = table_chunks(scene_table(scene))
     stab = search_table(scene)
     st, r, r_pad = _init_state(origins, directions, stream_base, block_r)
 
     def bounce(carry, b):
         st, rays = carry
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-        st, _ = bounce_fwd(table, stab, st, b, use_sky=scene.use_sky,
+        st, _ = bounce_fwd(t48, stab, st, b, use_sky=scene.use_sky,
                            block_r=block_r, exact_argmin=exact_argmin)
         return (st, rays), None
 
@@ -619,14 +694,14 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
 
     def _forward(scene, camera, pixel, s):
         o, d, base = camera_rays(camera, width, height, pixel, s, seed)
-        table = scene_table(scene)
+        t48 = table_chunks(scene_table(scene))
         stab = search_table(scene)
         st, r, r_pad = _init_state(o, d, base, block_r)
 
         def body(carry, b):
             st, rays = carry
             rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-            st, idx = bounce_fwd(table, stab, st, b, use_sky=scene.use_sky,
+            st, idx = bounce_fwd(t48, stab, st, b, use_sky=scene.use_sky,
                                  block_r=block_r, exact_argmin=exact_argmin)
             return (st, rays), idx.astype(jnp.int16)
 
@@ -655,6 +730,7 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         (o, d), rg_vjp = jax.vjp(rg, camera)
         base = camera_rays(camera, width, height, pixel, s, seed)[2]
         table, table_vjp = jax.vjp(scene_table, scene)
+        t48 = table_chunks(table)
         st0, r, r_pad = _init_state(o, d, base, block_r)
         bounces = jnp.arange(max_bounces, dtype=jnp.int32)
         idx_stack = idx_stack.astype(jnp.int32)
@@ -663,7 +739,7 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         # only live inside this sample's backward)
         def rbody(st, binfo):
             b, idx = binfo
-            st2 = bounce_replay(table, st, idx, b, use_sky=scene.use_sky,
+            st2 = bounce_replay(t48, st, idx, b, use_sky=scene.use_sky,
                                 block_r=block_r)
             return st2, st
 
@@ -675,7 +751,7 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         def bbody(carry, binfo):
             d_st, d_table = carry
             b, idx, st_in = binfo
-            d_in, d_tab = bounce_bwd(table, st_in, idx, b, d_st,
+            d_in, d_tab = bounce_bwd(t48, st_in, idx, b, d_st,
                                      use_sky=scene.use_sky, block_r=block_r)
             return (d_in, d_table + d_tab), None
 

@@ -50,20 +50,21 @@ _I32_MAX = 2**31 - 1
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _roots(o, d, stab_ref):
-    """Shifted root chain: [N,BR] t - eps with NaN/negative on any invalid
-    root (see module docstring). o/d are [3,BR] state slices."""
+def _roots(o, d, stab_ref, block_n: int):
+    """Shifted root chain: [bn,BR] t - eps with NaN/negative on any invalid
+    root (see module docstring). o/d are [3,BR] state slices. The whole
+    quadratic setup is ONE stacked HIGHEST matmul — coefficient rows 0:bn
+    give tp, rows bn:2bn give q against the ray monomials
+    [o, d, o.d, |o|^2, 1] (kernels/bounce_step._search rationale: pays the
+    bf16x6 pass overhead once, and the per-ray combines ride the MXU)."""
     oo = jnp.sum(o * o, axis=0, keepdims=True)
     od = jnp.sum(o * d, axis=0, keepdims=True)
-    c = stab_ref[:, 0:3]
-    cm2 = stab_ref[:, 3:6]
-    ccmr = stab_ref[:, 6:7]
-    dcT = jnp.dot(c, d, preferred_element_type=jnp.float32,
-                  precision=_HIGHEST)
-    m2ocT = jnp.dot(cm2, o, preferred_element_type=jnp.float32,
-                    precision=_HIGHEST)
-    tp = dcT - od
-    q = m2ocT + (ccmr + oo)
+    one = jnp.ones_like(oo)
+    feats = jnp.concatenate([o, d, od, oo, one], axis=0)   # [9,BR]
+    tpq = jnp.dot(stab_ref[:, 0:9], feats,
+                  preferred_element_type=jnp.float32, precision=_HIGHEST)
+    tp = tpq[0:block_n, :]
+    q = tpq[block_n:2 * block_n, :]
     disc = tp * tp - q
     x = jnp.sqrt(disc)                  # NaN when disc < 0
     tn = tp - x
@@ -74,7 +75,7 @@ def _roots(o, d, stab_ref):
 def _kernel_packed(ot_ref, dt_ref, stab_ref, t_out, idx_out, carry_s, *,
                    n_tiles: int, block_n: int, idx_bits: int):
     j = pl.program_id(1)
-    tb = _roots(ot_ref[:], dt_ref[:], stab_ref)
+    tb = _roots(ot_ref[:], dt_ref[:], stab_ref, block_n)
     low_mask = (1 << idx_bits) - 1
     rows = (jax.lax.broadcasted_iota(jnp.int32, tb.shape, 0) + j * block_n)
     bits = pltpu.bitcast(tb, jnp.uint32)
@@ -114,7 +115,7 @@ def _kernel_exact(ot_ref, dt_ref, stab_ref, t_out, idx_out, tmin_s, idx_s, *,
         tmin_s[:] = jnp.full_like(tmin_s, F32_MAX)
         idx_s[:] = jnp.zeros_like(idx_s)
 
-    tb = _roots(ot_ref[:], dt_ref[:], stab_ref)
+    tb = _roots(ot_ref[:], dt_ref[:], stab_ref, block_n)
     tv = jnp.where(tb > 0.0, tb + F32_EPS, F32_MAX)     # un-shift valid t
     tile_tmin = jnp.min(tv, axis=0, keepdims=True)      # [1,BR]
     rows = (jax.lax.broadcasted_iota(jnp.int32, tv.shape, 0) + j * block_n)
@@ -153,11 +154,22 @@ def nearest_hit_pallas(center, radius, origin, direction,
     n_pad = -(-n // block_n) * block_n
     r_pad = -(-r // block_r) * block_r
 
-    # scene side: [Np,8] search table (c | -2c | |c|^2-r^2 | pad)
+    # scene side: stacked tp/q coefficient rows per sphere TILE, laid out
+    # [n_tiles, 2*block_n, 16] -> [2*n_pad, 16] so each grid step's block
+    # (2*block_n rows) is [tp rows; q rows] for its tile (see _roots)
     c = jnp.pad(center, ((0, n_pad - n), (0, 0)))
     rad = jnp.pad(radius, (0, n_pad - n))
     ccmr = (jnp.sum(c * c, axis=1) - rad * rad)[:, None]
-    stab = jnp.concatenate([c, -2.0 * c, ccmr, jnp.zeros_like(ccmr)], axis=1)
+    one = jnp.ones_like(ccmr)
+    zero = jnp.zeros_like(ccmr)
+    z3 = jnp.zeros_like(c)
+    pad7 = jnp.zeros((n_pad, 7), jnp.float32)
+    tp_rows = jnp.concatenate([z3, c, -one, zero, zero, pad7], axis=1)
+    q_rows = jnp.concatenate([-2.0 * c, z3, zero, one, ccmr, pad7], axis=1)
+    n_t = n_pad // block_n
+    stab = jnp.concatenate([tp_rows.reshape(n_t, block_n, 16),
+                            q_rows.reshape(n_t, block_n, 16)],
+                           axis=1).reshape(2 * n_pad, 16)
 
     # ray side: [3,R] channel-major (one transpose each, fused by XLA)
     ot = jnp.pad(origin, ((0, r_pad - r), (0, 0))).T
@@ -186,7 +198,7 @@ def nearest_hit_pallas(center, radius, origin, direction,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_r), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 8), lambda i, j: (j, 0),
+            pl.BlockSpec((2 * block_n, 16), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
