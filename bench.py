@@ -9,9 +9,26 @@ forward+backward step (render + loss + gradients w.r.t. every scene
 parameter and the camera pose).
 
 The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
-reported against a per-chip speed-of-light estimate: the minimum VPU work
-per ray cast is ~23 flops per (ray, sphere) pair over the padded sphere
-axis, forward+backward ~3x forward, at the chip's peak f32 vector flops.
+reported against a per-chip speed-of-light derived from the MEASURED op
+mix of the fused kernels (tools/bench_bounce.py attribution, 2026-08-17,
+BASELINE.md "per-kernel attribution" row) rather than a guessed flat
+flop count:
+
+  fwd bounce = max(MXU search matmul, VPU root/argmin chain) + shade+gather
+    - search: the [2N,9]@[9,BR] setup matmul runs 6 bf16 passes (HIGHEST)
+      with K=9 padded to the 128-wide MXU -> 6*2*(2*n_pad)*128 flops/ray
+      (measured 16.8 ms of the 22.2 ms all-alive fwd bounce at N=512 —
+      the kernel sits at ~99% of this term's roofline)
+    - chain: ~12 VPU ops per (ray, sphere) pair (disc/sqrt/root-select +
+      packed argmin bit ops)
+    - shade+gather: 3-pass bf16 one-hot gather [48,N]@[N,BR] + ~250 VPU
+      shading ops per ray
+  fwd+bwd adds replay (shade+gather again) + bwd (~2x shade+gather; the
+  in-kernel vjp re-runs the chain forward and once transposed).
+
+The model is per PROCESSED lane; the reported metric divides by rays CAST
+(alive lanes only), so vs_baseline < 1 also prices the dead-lane waste
+that wavefront compaction would recover.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -24,20 +41,28 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Effective f32 VPU throughput per chip (elementwise ops/s, measured: the
-# isolated nearest-hit kernel sustains ~1.5e12 f32 ops/s on v5e; this
-# workload has no matmul so MXU peak is irrelevant).
+# Peak per-chip throughputs. VPU: measured effective f32 elementwise ops/s
+# (the isolated nearest-hit kernel sustains ~1.5e12 on v5e). MXU: published
+# bf16 peak.
 VPU_F32_FLOPS = {"v5e": 1.5e12, "v5p": 3.5e12, "v4": 2.1e12}
-FLOPS_PER_RAY_SPHERE = 25.0   # intersection test + masked argmin (fwd)
-FWD_BWD_FACTOR = 3.0          # backward ~= remat forward + reverse sweep
+MXU_BF16_FLOPS = {"v5e": 1.97e14, "v5p": 4.59e14, "v4": 2.75e14}
+SEARCH_PASSES = 6         # bf16 passes of the HIGHEST-precision K=9 matmul
+CHAIN_OPS_PER_PAIR = 12.0  # root chain + packed argmin (VPU)
+SHADE_OPS_PER_RAY = 250.0  # per-lane shading chain (VPU)
+GATHER_PASSES = 3          # exact bf16-chunk one-hot gather
 
 
 def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str) -> float:
-    peak = VPU_F32_FLOPS.get(chip, 49.2e12)
-    per_ray = FLOPS_PER_RAY_SPHERE * n_pad
+    mxu = MXU_BF16_FLOPS.get(chip, 1.97e14)
+    vpu = VPU_F32_FLOPS.get(chip, 1.5e12)
+    search_s = SEARCH_PASSES * 2.0 * (2 * n_pad) * 128 / mxu
+    chain_s = CHAIN_OPS_PER_PAIR * n_pad / vpu
+    shade_s = (GATHER_PASSES * 2.0 * 48 * n_pad / mxu
+               + SHADE_OPS_PER_RAY / vpu)
+    per_ray = max(search_s, chain_s) + shade_s
     if mode == "fwd+bwd":
-        per_ray *= FWD_BWD_FACTOR
-    return peak / per_ray
+        per_ray += 3.0 * shade_s          # replay + bwd (measured ~0.6x fwd)
+    return 1.0 / per_ray
 
 
 def bench_scaling(args, scene, camera, kw):

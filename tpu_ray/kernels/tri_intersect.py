@@ -44,8 +44,13 @@ from tpu_ray.core.trimesh import Triangles
 from tpu_ray.ops.intersect import Hit
 from tpu_ray.ops.intersect_tri import _DET_EPS
 
-BLOCK_R = 2048   # rays per grid step (lane-major)
-BLOCK_M = 1024   # triangles per VMEM tile (sublane-major)
+# Block sizes bound the kernel's scoped-VMEM working set: the four K=16
+# matmul outputs (det, t*det, u*det, v*det) plus the valid/t intermediate
+# are [BLOCK_M, BLOCK_R] f32 each, and Mosaic's scoped-vmem budget is
+# 16 MB — (512, 1024) keeps the live set ~11 MB ((1024, 2048) OOMs the
+# TPU compile with a 42.9 MB stack allocation).
+BLOCK_R = 1024   # rays per grid step (lane-major)
+BLOCK_M = 512    # triangles per VMEM tile (sublane-major)
 _PACK_MAX_M = 2048
 _I32_MAX = 2**31 - 1
 _HIGHEST = jax.lax.Precision.HIGHEST
