@@ -52,9 +52,10 @@ State channel layout [16, R] (f32; ch 13 is u32 bitcast):
 Shading table layout [16, N] (`scene_table`):
    0-2 center, 3 radius, 4-6 albedo, 7-9 emissive, 10 specular, 11 ior,
    12-15 unused.
-Search table layout [2N, 16] (`search_table`, stop-gradient by
+Search table layout [2N, 54] bf16 (`search_table`, stop-gradient by
 construction): stacked tp / q coefficient rows against the ray monomials
-[o, d, o.d, |o|^2, 1] — see `_search`.
+[o, d, o.d, |o|^2, 1], K-stacked as exact bf16 chunk groups — see
+`_tile_roots`.
 """
 from __future__ import annotations
 
@@ -72,14 +73,11 @@ BLOCK_R = 1024  # swept 128-2048: per-block overhead beats finer dead-block skip
 _I32_MAX = 2**31 - 1
 _MIX_BOUNCE = 0x632BE59B
 _MIX_SLOT = 0xC2B2AE35
-_HIGHEST = jax.lax.Precision.HIGHEST
 # Search-matmul precision must stay ~f32: disc = tp^2 - q needs absolute
 # error << r_min^2 (1.6e-4) against |c|^2 ~ 25 terms, i.e. ~2^-19 relative;
 # single-pass bf16 (DEFAULT) systematically deletes the small grid spheres
-# (round-1 finding) and Mosaic supports no bf16x3 middle tier. The passes
-# are paid ONCE on a stacked [2N,K] operand (see _search) — measured
-# bf16x6 cost was 45% of the forward kernel when run as two matmuls.
-_SEARCH_PREC = jax.lax.Precision.HIGHEST
+# (round-1 finding). Achieved via the K-stacked bf16x6 scheme in
+# _tile_roots/search_table: ONE DEFAULT matmul, HIGHEST-class accuracy.
 
 
 def _u32(x):
@@ -307,14 +305,26 @@ def _tile_roots(st, stab_ref, block_n: int):
     """Shifted root chain for ONE sphere tile, [bn,BR]. -> tb = t - eps
     (<= 0 / NaN where invalid; see packed-order comment below).
 
-    The whole quadratic setup is ONE stacked MXU matmul (K=9 against the
+    The whole quadratic setup is ONE K-stacked MXU matmul against the
     per-ray monomials [o, d, o.d, |o|^2, 1]; coefficient rows 0:bn produce
-    tp, rows bn:2bn produce q):
+    tp, rows bn:2bn produce q:
         tp = c.d - o.d
         q  = -2 c.o + (|c|^2 - r^2) + |o|^2
-    — the per-ray combine ops disappear into the matmul, and stacking tp/q
-    vertically pays the bf16x6 HIGHEST pass overhead once instead of
-    twice (the passes were 45% of the kernel as two separate dots)."""
+    — the per-ray combine ops disappear into the matmul.
+
+    Precision WITHOUT passes: the f32 x f32 product needs ~2^-19 relative
+    accuracy (disc = tp^2 - q vs r_min^2 = 1.6e-4; single-pass bf16
+    deletes the small grid spheres — round-1 finding), i.e. the bf16x6
+    scheme (3 exact bf16 chunks per side, the 6 significant cross
+    products). XLA's HIGHEST runs those as 6 SEPARATE matmul passes, each
+    padding K=9 to the MXU's 128 — 93% of the systolic array wasted, six
+    times. Here the 6 chunk pairs are stacked ALONG K instead: the search
+    table carries [a1 a1 a2 a1 a2 a3] (column groups, search_table) and
+    the kernel builds [b1; b2; b1; b3; b2; b1] (row groups of the
+    bit-split monomials), so ONE DEFAULT-precision K=54 matmul (still
+    under one 128 pad) accumulates exactly the same 6 products in f32 —
+    identical error class to HIGHEST at 1/6 the MXU cost (measured: the
+    passes were 75% of the all-alive forward bounce)."""
     o = st[0:3, :]
     d = st[3:6, :]
     oo = jnp.sum(o * o, axis=0, keepdims=True)       # [1,BR]
@@ -322,9 +332,12 @@ def _tile_roots(st, stab_ref, block_n: int):
     one = jnp.ones_like(oo)
 
     feats = jnp.concatenate([o, d, od, oo, one], axis=0)   # [9,BR]
-    tpq = jnp.dot(stab_ref[:, 0:9], feats,
+    b1, b2, b3 = _split3_bf16(
+        feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    bk = jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [54,BR]
+    tpq = jnp.dot(stab_ref[:], bk,
                   preferred_element_type=jnp.float32,
-                  precision=_SEARCH_PREC)                  # [2bn,BR]
+                  precision=jax.lax.Precision.DEFAULT)     # [2bn,BR]
     tp = tpq[0:block_n, :]
     q = tpq[block_n:2 * block_n, :]
     disc = tp * tp - q
@@ -563,13 +576,17 @@ BLOCK_N = 128   # spheres per cull tile (SPHERE_PAD multiple, so n_pad | it)
 
 
 def search_table(scene: Scene, block_n: int = BLOCK_N):
-    """[2N, 16] tile-major stacked search coefficient table (stop-gradient:
-    the search is the non-differentiable discrete selection, ops/intersect
-    docstring). Feature order [o(3), d(3), o.d, |o|^2, 1]; tp coefficient
-    rows are [0 | c | -1 | 0 | 0], q rows [-2c | 0 | 0 | 1 | |c|^2-r^2]
-    (see _tile_roots). Layout is [n_tiles, 2*block_n, 16] flattened — each
-    tile's [tp; q] rows are contiguous so the kernel's per-tile slice is
-    one static [2*block_n, 16] block."""
+    """[2N, 54] bf16 tile-major stacked search coefficient table
+    (stop-gradient: the search is the non-differentiable discrete
+    selection, ops/intersect docstring). Feature order
+    [o(3), d(3), o.d, |o|^2, 1]; tp coefficient rows are
+    [0 | c | -1 | 0 | 0], q rows [-2c | 0 | 0 | 1 | |c|^2-r^2].
+    Columns are the K-stacked bf16 chunk groups [a1 a1 a2 a1 a2 a3] of
+    the exact 3-chunk split — one DEFAULT matmul against the kernel's
+    [b1; b2; b1; b3; b2; b1] monomial rows reproduces the bf16x6 HIGHEST
+    product (see _tile_roots). Layout is [n_tiles, 2*block_n, 54]
+    flattened — each tile's [tp; q] rows are contiguous so the kernel's
+    per-tile slice is one static [2*block_n, 54] block."""
     c = jax.lax.stop_gradient(scene.center)          # [N,3]
     r = jax.lax.stop_gradient(scene.radius)
     n = c.shape[0]
@@ -577,13 +594,17 @@ def search_table(scene: Scene, block_n: int = BLOCK_N):
     one = jnp.ones_like(ccmr)
     zero = jnp.zeros_like(ccmr)
     z3 = jnp.zeros_like(c)
-    pad7 = jnp.zeros((n, 7), jnp.float32)
-    tp_rows = jnp.concatenate([z3, c, -one, zero, zero, pad7], axis=1)
-    q_rows = jnp.concatenate([-2.0 * c, z3, zero, one, ccmr, pad7], axis=1)
+    tp_rows = jnp.concatenate([z3, c, -one, zero, zero], axis=1)
+    q_rows = jnp.concatenate([-2.0 * c, z3, zero, one, ccmr], axis=1)
     n_t = max(1, n // block_n)
-    return jnp.concatenate([tp_rows.reshape(n_t, block_n, 16),
-                            q_rows.reshape(n_t, block_n, 16)],
-                           axis=1).reshape(2 * n, 16)
+    rows = jnp.concatenate([tp_rows.reshape(n_t, block_n, 9),
+                            q_rows.reshape(n_t, block_n, 9)],
+                           axis=1).reshape(2 * n, 9)
+    a1, a2, a3 = _split3_bf16(
+        rows,
+        lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32),
+        lambda u: jax.lax.bitcast_convert_type(u, jnp.float32))
+    return jnp.concatenate([a1, a1, a2, a1, a2, a3], axis=1)  # [2N,54]
 
 
 def _spread3(x):
@@ -730,7 +751,7 @@ def bounce_fwd(table48, stab, state, bounce, mask=None, *, use_sky: bool,
                block_r: int = BLOCK_R, block_n: int = BLOCK_N,
                exact_argmin: bool = False):
     """One fused forward bounce. table48 [48,N] bf16 chunk table,
-    stab [2N,16] tile-major (search_table), state [16,R] (R multiple of
+    stab [2N,54] bf16 tile-major (search_table), state [16,R] (R multiple of
     block_r), bounce [] i32, mask optional [R/block_r, N/block_n] i32
     tile-cull mask (bounce_cull_mask). mask=None compiles the UNCULLED
     kernel: one full-scene search matmul, no per-tile conds (the fast
@@ -758,7 +779,7 @@ def bounce_fwd(table48, stab, state, bounce, mask=None, *, use_sky: bool,
             *mask_spec,
             pl.BlockSpec((16, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n_pad, 16), lambda i: (0, 0),
+            pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((48, n_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
