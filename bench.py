@@ -15,10 +15,11 @@ BASELINE.md "per-kernel attribution" row) rather than a guessed flat
 flop count:
 
   fwd bounce = max(MXU search matmul, VPU root/argmin chain) + shade+gather
-    - search: the [2N,9]@[9,BR] setup matmul runs 6 bf16 passes (HIGHEST)
-      with K=9 padded to the 128-wide MXU -> 6*2*(2*n_pad)*128 flops/ray
-      (measured 16.8 ms of the 22.2 ms all-alive fwd bounce at N=512 —
-      the kernel sits at ~99% of this term's roofline)
+    - search: the quadratic-setup matmul is ONE DEFAULT pass with the 6
+      significant bf16-chunk cross products K-stacked (K=54 padded to the
+      128-wide MXU) -> 2*(2*n_pad)*128 flops/ray (measured ~2.8 ms of the
+      11.6 ms all-alive fwd bounce at N=512 after the K-stack rewrite —
+      the VPU chain is now the binding term of the max)
     - chain: ~12 VPU ops per (ray, sphere) pair (disc/sqrt/root-select +
       packed argmin bit ops)
     - shade+gather: 3-pass bf16 one-hot gather [48,N]@[N,BR] + ~250 VPU
@@ -46,7 +47,7 @@ import jax.numpy as jnp
 # bf16 peak.
 VPU_F32_FLOPS = {"v5e": 1.5e12, "v5p": 3.5e12, "v4": 2.1e12}
 MXU_BF16_FLOPS = {"v5e": 1.97e14, "v5p": 4.59e14, "v4": 2.75e14}
-SEARCH_PASSES = 6         # bf16 passes of the HIGHEST-precision K=9 matmul
+SEARCH_PASSES = 1         # ONE K-stacked DEFAULT matmul (K=54 -> 128 pad)
 CHAIN_OPS_PER_PAIR = 12.0  # root chain + packed argmin (VPU)
 SHADE_OPS_PER_RAY = 250.0  # per-lane shading chain (VPU)
 GATHER_PASSES = 3          # exact bf16-chunk one-hot gather

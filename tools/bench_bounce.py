@@ -52,7 +52,9 @@ def main():
     px = jnp.arange(args.rays, dtype=jnp.int32)
     o, d, base = camera_rays(cam, 1920, args.rays // 1920, px, 0, 0)
     table = bs.table_chunks(bs.scene_table(scene))
-    stab = bs.search_table(scene)
+    # mask=None (uncalled) kernels take the FULL-stacked layout (block_n =
+    # n_pad), not the tile-major default
+    stab = bs.search_table(scene, scene.n_pad)
     st, _, _ = bs._init_state(o, d, base, block_r)
     st = jax.block_until_ready(st)
     b = jnp.int32(0)

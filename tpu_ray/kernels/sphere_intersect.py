@@ -41,28 +41,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ray.core.scene import F32_EPS, F32_MAX
+from tpu_ray.kernels.bounce_step import _split3_bf16, _u32
 from tpu_ray.ops.intersect import Hit
 
 BLOCK_R = 2048   # rays per grid step (lane-major)
 BLOCK_N = 1024   # spheres per VMEM tile (sublane-major)
 _PACK_MAX_N = 2048   # beyond this the packed index bits cost >2^-13 of t
 _I32_MAX = 2**31 - 1
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _roots(o, d, stab_ref, block_n: int):
     """Shifted root chain: [bn,BR] t - eps with NaN/negative on any invalid
     root (see module docstring). o/d are [3,BR] state slices. The whole
-    quadratic setup is ONE stacked HIGHEST matmul — coefficient rows 0:bn
-    give tp, rows bn:2bn give q against the ray monomials
-    [o, d, o.d, |o|^2, 1] (kernels/bounce_step._search rationale: pays the
-    bf16x6 pass overhead once, and the per-ray combines ride the MXU)."""
+    quadratic setup is ONE K-stacked DEFAULT-precision matmul — coefficient
+    rows 0:bn give tp, rows bn:2bn give q against the ray monomials
+    [o, d, o.d, |o|^2, 1], with the 6 significant bf16-chunk cross products
+    of the exact 3-chunk split stacked ALONG K (9 -> 54, still under one
+    128 pad) instead of run as HIGHEST's 6 separate passes — identical
+    error class at 1/6 the MXU cost (kernels/bounce_step._tile_roots)."""
     oo = jnp.sum(o * o, axis=0, keepdims=True)
     od = jnp.sum(o * d, axis=0, keepdims=True)
     one = jnp.ones_like(oo)
     feats = jnp.concatenate([o, d, od, oo, one], axis=0)   # [9,BR]
-    tpq = jnp.dot(stab_ref[:, 0:9], feats,
-                  preferred_element_type=jnp.float32, precision=_HIGHEST)
+    b1, b2, b3 = _split3_bf16(
+        feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    bk = jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [54,BR]
+    tpq = jnp.dot(stab_ref[:], bk,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     tp = tpq[0:block_n, :]
     q = tpq[block_n:2 * block_n, :]
     disc = tp * tp - q
@@ -155,21 +161,26 @@ def nearest_hit_pallas(center, radius, origin, direction,
     r_pad = -(-r // block_r) * block_r
 
     # scene side: stacked tp/q coefficient rows per sphere TILE, laid out
-    # [n_tiles, 2*block_n, 16] -> [2*n_pad, 16] so each grid step's block
-    # (2*block_n rows) is [tp rows; q rows] for its tile (see _roots)
+    # [n_tiles, 2*block_n, 54] -> [2*n_pad, 54] so each grid step's block
+    # (2*block_n rows) is [tp rows; q rows] for its tile; columns are the
+    # K-stacked bf16 chunk groups [a1 a1 a2 a1 a2 a3] (see _roots)
     c = jnp.pad(center, ((0, n_pad - n), (0, 0)))
     rad = jnp.pad(radius, (0, n_pad - n))
     ccmr = (jnp.sum(c * c, axis=1) - rad * rad)[:, None]
     one = jnp.ones_like(ccmr)
     zero = jnp.zeros_like(ccmr)
     z3 = jnp.zeros_like(c)
-    pad7 = jnp.zeros((n_pad, 7), jnp.float32)
-    tp_rows = jnp.concatenate([z3, c, -one, zero, zero, pad7], axis=1)
-    q_rows = jnp.concatenate([-2.0 * c, z3, zero, one, ccmr, pad7], axis=1)
+    tp_rows = jnp.concatenate([z3, c, -one, zero, zero], axis=1)
+    q_rows = jnp.concatenate([-2.0 * c, z3, zero, one, ccmr], axis=1)
     n_t = n_pad // block_n
-    stab = jnp.concatenate([tp_rows.reshape(n_t, block_n, 16),
-                            q_rows.reshape(n_t, block_n, 16)],
-                           axis=1).reshape(2 * n_pad, 16)
+    rows = jnp.concatenate([tp_rows.reshape(n_t, block_n, 9),
+                            q_rows.reshape(n_t, block_n, 9)],
+                           axis=1).reshape(2 * n_pad, 9)
+    a1, a2, a3 = _split3_bf16(
+        rows,
+        lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32),
+        lambda u: jax.lax.bitcast_convert_type(u, jnp.float32))
+    stab = jnp.concatenate([a1, a1, a2, a1, a2, a3], axis=1)  # [2n_pad,54]
 
     # ray side: [3,R] channel-major (one transpose each, fused by XLA)
     ot = jnp.pad(origin, ((0, r_pad - r), (0, 0))).T
@@ -198,7 +209,7 @@ def nearest_hit_pallas(center, radius, origin, direction,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_r), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * block_n, 16), lambda i, j: (j, 0),
+            pl.BlockSpec((2 * block_n, 54), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

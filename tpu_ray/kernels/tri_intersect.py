@@ -13,10 +13,16 @@ triangle fixed each is an affine function of the per-ray monomials
     u*det =  sum_jk (E2x)_kj o_j d_k - (e2 x v0).d      E2x = [e2]_x
     v*det = -sum_jk (E1x)_kj o_j d_k - (v0 x e1).d
 
-so one [M,16] coefficient table per scalar and four K=16 MXU matmuls
-against the in-VMEM feature block [16, BR] replace all pairwise cross
-products; the VPU keeps only the sign-folded barycentric tests, one
-reciprocal, and the packed argmin (~19 ops/pair). Orientation and argmin
+so ONE row-stacked coefficient table [4M, 96] and ONE K-stacked MXU
+matmul against the in-VMEM feature block replace all pairwise cross
+products: the four scalars stack along the output rows, and f32-class
+precision comes from stacking the 6 significant bf16-chunk cross
+products of the exact 3-chunk split ALONG K (16 -> 96, still under one
+128 pad) instead of HIGHEST's 6 separate passes — 24 MXU passes -> 1
+per (tile, ray block), identical error class (the K-stack scheme of
+kernels/bounce_step._tile_roots). The VPU keeps only the sign-folded
+barycentric tests, one reciprocal, and the packed argmin
+(~19 ops/pair). Orientation and argmin
 machinery are shared with the sphere search (kernels/sphere_intersect.py):
 triangles on sublanes, rays on lanes, sublane min-reduce, packed
 (t | index) carry across triangle tiles with the exact two-reduction
@@ -41,19 +47,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ray.core.scene import F32_EPS, F32_MAX
 from tpu_ray.core.trimesh import Triangles
+from tpu_ray.kernels.bounce_step import _split3_bf16, _u32
 from tpu_ray.ops.intersect import Hit
 from tpu_ray.ops.intersect_tri import _DET_EPS
 
-# Block sizes bound the kernel's scoped-VMEM working set: the four K=16
-# matmul outputs (det, t*det, u*det, v*det) plus the valid/t intermediate
-# are [BLOCK_M, BLOCK_R] f32 each, and Mosaic's scoped-vmem budget is
+# Block sizes bound the kernel's scoped-VMEM working set: the stacked
+# matmul output (det, t*det, u*det, v*det) is [4*BLOCK_M, BLOCK_R] f32
+# plus the valid/t intermediates, and Mosaic's scoped-vmem budget is
 # 16 MB — (512, 1024) keeps the live set ~11 MB ((1024, 2048) OOMs the
 # TPU compile with a 42.9 MB stack allocation).
 BLOCK_R = 1024   # rays per grid step (lane-major)
 BLOCK_M = 512    # triangles per VMEM tile (sublane-major)
 _PACK_MAX_M = 2048
 _I32_MAX = 2**31 - 1
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _cross_mat(a):
@@ -66,20 +72,27 @@ def _cross_mat(a):
     ], axis=1)
 
 
-def tri_search_tables(tris: Triangles):
-    """-> [M, 64] coefficient table: four [M,16] blocks (det, t*det, u*det,
-    v*det) against the ray features [o, d, o (x) d (j-major), 1]."""
+def tri_search_tables(tris: Triangles, block_m: int):
+    """-> [4*m_pad, 96] bf16 tile-major coefficient table: each block_m
+    tile's rows are [det; t*det; u*det; v*det] coefficient groups against
+    the ray features [o, d, o (x) d (j-major), 1]; columns are the
+    K-stacked bf16 chunk groups [a1 a1 a2 a1 a2 a3] of the exact 3-chunk
+    split (one DEFAULT matmul per tile — see module docstring). m_pad is
+    the block_m round-up; padding triangles get all-zero rows => det = 0
+    => rejected."""
     v0 = jax.lax.stop_gradient(tris.v0)
     e1 = jax.lax.stop_gradient(tris.e1)
     e2 = jax.lax.stop_gradient(tris.e2)
     m = v0.shape[0]
+    m_pad = -(-m // block_m) * block_m
     n = jnp.cross(e1, e2)
     z3 = jnp.zeros((m, 3), jnp.float32)
     z9 = jnp.zeros((m, 9), jnp.float32)
     z1 = jnp.zeros((m, 1), jnp.float32)
 
     def block(o_c, d_c, w_c, k_c):
-        return jnp.concatenate([o_c, d_c, w_c, k_c], axis=1)   # [M,16]
+        return jnp.pad(jnp.concatenate([o_c, d_c, w_c, k_c], axis=1),
+                       ((0, m_pad - m), (0, 0)))          # [m_pad,16]
 
     # coef(w_jk) = (E2x)_kj  -> flatten j-major: w index = 3*j + k
     e2x_t = jnp.transpose(_cross_mat(e2), (0, 2, 1)).reshape(m, 9)
@@ -89,28 +102,41 @@ def tri_search_tables(tris: Triangles):
     t_t = block(n, z3, z9, -jnp.sum(n * v0, axis=1, keepdims=True))
     u_t = block(z3, -jnp.cross(e2, v0), e2x_t, z1)
     v_t = block(z3, -jnp.cross(v0, e1), -e1x_t, z1)
-    return jnp.concatenate([det_t, t_t, u_t, v_t], axis=1)     # [M,64]
+    n_t = m_pad // block_m
+    rows = jnp.concatenate(
+        [x.reshape(n_t, block_m, 16) for x in (det_t, t_t, u_t, v_t)],
+        axis=1).reshape(4 * m_pad, 16)
+    a1, a2, a3 = _split3_bf16(
+        rows,
+        lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32),
+        lambda u: jax.lax.bitcast_convert_type(u, jnp.float32))
+    return jnp.concatenate([a1, a1, a2, a1, a2, a3], axis=1)  # [4m_pad,96]
 
 
 def _features(o, d):
-    """[3,BR] o/d slices -> [16,BR] feature block [o, d, o(x)d j-major, 1]."""
+    """[3,BR] o/d slices -> [96,BR] K-stacked bf16 feature block: the
+    monomials [o, d, o(x)d j-major, 1] bit-split into exact bf16 chunks
+    and stacked [b1; b2; b1; b3; b2; b1] against the table's column
+    groups (kernels/bounce_step._tile_roots scheme)."""
     w = [o[j:j + 1, :] * d[k:k + 1, :] for j in range(3) for k in range(3)]
     one = jnp.ones_like(o[0:1, :])
-    return jnp.concatenate([o, d, *w, one], axis=0)
+    feats = jnp.concatenate([o, d, *w, one], axis=0)       # [16,BR]
+    b1, b2, b3 = _split3_bf16(
+        feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    return jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)
 
 
 def _tri_t(tab_ref, feats):
-    """[Mt,64] coefficient tile x [16,BR] features -> shifted valid-t
-    [Mt,BR] (t - eps; <= 0 or F32_MAX-shifted where invalid)."""
-    f32 = jnp.float32
-    det = jnp.dot(tab_ref[:, 0:16], feats, preferred_element_type=f32,
-                  precision=_HIGHEST)
-    t_d = jnp.dot(tab_ref[:, 16:32], feats, preferred_element_type=f32,
-                  precision=_HIGHEST)
-    u_d = jnp.dot(tab_ref[:, 32:48], feats, preferred_element_type=f32,
-                  precision=_HIGHEST)
-    v_d = jnp.dot(tab_ref[:, 48:64], feats, preferred_element_type=f32,
-                  precision=_HIGHEST)
+    """[4Mt,96] coefficient tile x [96,BR] features -> shifted valid-t
+    [Mt,BR] (t - eps; <= 0 or F32_MAX-shifted where invalid). ONE
+    K-stacked DEFAULT matmul computes all four scalars row-stacked."""
+    bm = tab_ref.shape[0] // 4
+    tpq = jnp.dot(tab_ref[:], feats, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)     # [4bm,BR]
+    det = tpq[0:bm, :]
+    t_d = tpq[bm:2 * bm, :]
+    u_d = tpq[2 * bm:3 * bm, :]
+    v_d = tpq[3 * bm:4 * bm, :]
 
     s = jnp.where(det >= 0.0, 1.0, -1.0)
     absdet = det * s
@@ -200,9 +226,7 @@ def nearest_hit_tri_pallas(tris: Triangles, origin, direction,
     m_pad = -(-m // block_m) * block_m
     r_pad = -(-r // block_r) * block_r
 
-    tab = tri_search_tables(tris)                     # [M,64]
-    # padding triangles: e1 = e2 = 0 => all coefficient rows 0 => det = 0
-    tab = jnp.pad(tab, ((0, m_pad - m), (0, 0)))
+    tab = tri_search_tables(tris, block_m)            # [4*m_pad,96]
 
     ot = jnp.pad(origin, ((0, r_pad - r), (0, 0))).T
     dt = jnp.pad(direction, ((0, r_pad - r), (0, 0))).T
@@ -230,7 +254,7 @@ def nearest_hit_tri_pallas(tris: Triangles, origin, direction,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_r), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, 64), lambda i, j: (j, 0),
+            pl.BlockSpec((4 * block_m, 96), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
