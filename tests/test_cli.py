@@ -59,3 +59,22 @@ def test_unknown_flag_rejected():
     with pytest.raises(SystemExit) as e:
         main(["render", "--sspp", "4", "--out", "/dev/null"])
     assert e.value.code == 2
+
+
+def test_fit_reduces_loss_and_reports_recovery(tmp_path):
+    import json
+    out = str(tmp_path / "fit.png")
+    met = str(tmp_path / "fit.jsonl")
+    rc = main(["fit", "--scene", "rtweekend", "--width", "32", "--height",
+               "24", "--spp", "1", "--steps", "6", "--lr", "0.02",
+               "--out", out, "--metrics", met])
+    assert rc == 0
+    assert open(out, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+    rows = [json.loads(l) for l in open(met)]
+    losses = [r["loss"] for r in rows if "loss" in r]
+    recov = [r for r in rows if "d_center" in r]
+    assert len(losses) == 6
+    assert losses[-1] < losses[0]          # optimizer actually descends
+    assert len(recov) == 2                 # before + after parameter errors
+    assert all(np.isfinite(v) for r in recov
+               for k, v in r.items() if k.startswith("d_"))

@@ -27,7 +27,7 @@ def _add_common(ap: argparse.ArgumentParser):
     ap.add_argument("--backend", default="jnp",
                     choices=["jnp", "pallas", "fused"],
                     help="compute backend (the EnableSIMD analogue); "
-                         "fused = single-kernel bounce (forward only)")
+                         "fused = custom-VJP single-kernel bounce")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ray-chunk", type=int, default=None)
     ap.add_argument("--shading", default="path",
@@ -126,9 +126,27 @@ def cmd_render(args) -> int:
 
 
 def cmd_fit(args) -> int:
+    """Inverse rendering: recover PER-SPHERE geometry and materials (and
+    optionally the camera pose) from a rendered target image.
+
+    Self-supervised demo: target = clean render of the scene; init = the
+    same scene with every real sphere independently perturbed (center
+    jitter, radius scale, per-channel albedo noise, emissive halved) and,
+    with --fit-camera, a nudged camera. Prints the image loss AND the
+    parameter-space recovery (mean |Δcenter| / |Δradius| / |Δalbedo| vs
+    ground truth before and after) so the demo shows actual per-parameter
+    convergence, not just a falling loss curve.
+
+    Estimator note: hit SELECTION is discrete (stop-gradient through the
+    search, ops/intersect docstring), so geometry gradients flow only
+    through the continuous shading terms — the sky emission's direction
+    dependence and the payload recompute. On a sky-lit scene (rtweekend,
+    the default) centers/radii recover; on a closed no-sky scene (rgb)
+    their pathwise gradient is exactly zero and only materials fit."""
     import dataclasses
     import numpy as np
     import jax
+    import jax.numpy as jnp
     import optax
     from tpu_ray import default_camera, make_scene
     from tpu_ray.grad import make_train_step, render_mean
@@ -142,36 +160,61 @@ def cmd_fit(args) -> int:
               seed=args.seed, max_bounces=args.max_bounces,
               backend=args.backend, ray_chunk=args.ray_chunk)
 
-    # self-supervised demo: target = clean render, init = perturbed scene
     target = render_mean(scene, camera, sample_start=0, **{
         **kw, "spp": max(args.spp, args.target_spp)})
+
+    # per-sphere perturbations, masked so radius-0 padding stays inert
     rng = np.random.default_rng(args.seed)
+    n = scene.n_pad
+    real = (np.asarray(scene.radius) > 0.0)
+    r_scale = float(np.mean(np.asarray(scene.radius)[real])) if real.any() \
+        else 1.0
+    jit_c = rng.normal(0.0, 0.15 * r_scale, (n, 3)).astype(np.float32)
+    jit_r = rng.uniform(0.85, 1.15, n).astype(np.float32)
+    jit_a = rng.uniform(0.6, 1.0, (n, 3)).astype(np.float32)
+    m1 = real[:, None]
     perturbed = dataclasses.replace(
         scene,
-        albedo=scene.albedo * jnp_clip01(rng.uniform(0.4, 1.0)),
+        center=scene.center + jnp.asarray(np.where(m1, jit_c, 0.0)),
+        radius=scene.radius * jnp.asarray(np.where(real, jit_r, 1.0)),
+        albedo=jnp.clip(scene.albedo * jnp.asarray(jit_a), 0.0, 1.0),
         emissive=scene.emissive * 0.5,
     )
+    fit_camera = bool(args.fit_camera)
+    cam0 = camera
+    if fit_camera:
+        cam0 = dataclasses.replace(
+            camera, position=camera.position + 0.05 * r_scale)
+
+    def recovery(s):
+        dc = np.abs(np.asarray(s.center - scene.center))[real].mean()
+        dr = np.abs(np.asarray(s.radius - scene.radius))[real].mean()
+        da = np.abs(np.asarray(s.albedo - scene.albedo))[real].mean()
+        return dict(d_center=float(dc), d_radius=float(dr),
+                    d_albedo=float(da))
 
     init_fn, step_fn = make_train_step(
-        mesh=mesh, optimizer=optax.adam(args.lr), train_camera=False,
-        fixed_samples=True, remat=True, **kw)
-    state = init_fn(perturbed, camera)
+        mesh=mesh, optimizer=optax.adam(args.lr),
+        train_camera=fit_camera, fixed_samples=True, remat=True, **kw)
+    state = init_fn(perturbed, cam0)
 
     log = MetricsLogger(path=args.metrics)
+    before = recovery(perturbed)
+    log.log(fit_step=-1, **before)
     loss = float("nan")
     for i in range(args.steps):
         (state, loss), secs = StepTimer.timed(step_fn, state, target)
         log.log(fit_step=i, loss=float(loss), seconds=round(secs, 4))
 
+    after = recovery(state.scene)
+    log.log(fit_step=args.steps, **after)
     img = render_mean(state.scene, state.camera, sample_start=0, **kw)
     write_png(args.out, jax.device_get(
         pack_rgba8(linear_to_srgb(img))[::-1]))
     print(f"wrote {args.out} (final loss {float(loss):.6f})", file=sys.stderr)
+    for k in before:
+        print(f"  {k}: {before[k]:.6f} -> {after[k]:.6f}", file=sys.stderr)
     return 0
-
-
-def jnp_clip01(x):
-    return min(max(float(x), 0.0), 1.0)
 
 
 def cmd_animate(args) -> int:
@@ -250,6 +293,8 @@ def main(argv=None) -> int:
     f.add_argument("--steps", type=int, default=50)
     f.add_argument("--lr", type=float, default=0.05)
     f.add_argument("--target-spp", type=int, default=4)
+    f.add_argument("--fit-camera", action="store_true",
+                   help="also nudge + recover the camera pose")
     f.add_argument("--out", default="fit.png")
 
     a = sub.add_parser("animate", help="turntable orbit -> frame PNGs")
