@@ -39,13 +39,50 @@ def test_render_pass_fused_backend():
     assert match.mean() > 0.97, match.mean()
 
 
-def test_fused_rejects_triangle_scenes():
-    scene = make_scene("trimesh")
+def _small_trimesh_scene():
+    # config-4 geometry at subdivisions=2: 2*320 mesh tris + 2 ground quads
+    # + 1 glass sphere -> a real mixed scene small enough for interpret mode
+    from tpu_ray.core.scene import make_trimesh_scene
+    return make_trimesh_scene(subdivisions=2)
+
+
+def test_fused_triangle_scene_parity():
+    # round-2: the fused kernel's triangle tile phase (Möller-Trumbore
+    # K-stack) + plane-form winner recompute vs the jnp mixed-primitive
+    # path. Near-tie winner flips across shared mesh edges make parity
+    # statistical, like the sphere tests above.
+    scene = _small_trimesh_scene()
     cam = default_camera(scene)
-    px = jnp.arange(64, dtype=jnp.int32)
-    o, d, base = camera_rays(cam, 8, 8, px, 0, 0)
-    with pytest.raises(AssertionError):
-        trace_rays_fused(scene, o, d, base, 5)
+    px = jnp.arange(48 * 32, dtype=jnp.int32)
+    o, d, base = camera_rays(cam, 48, 32, px, 0, 0)
+    c0, r0 = trace_rays(scene, o, d, base, 5, probe_jnp)
+    c1, r1 = trace_rays_fused(scene, o, d, base, 5)
+    match = np.abs(np.asarray(c1) - np.asarray(c0)).max(axis=-1) < 1e-5
+    assert match.mean() > 0.97, match.mean()
+    assert abs(int(np.asarray(r0).sum()) - int(np.asarray(r1).sum())) \
+        <= 0.01 * int(np.asarray(r0).sum())
+    mean_abs = float(np.abs(np.asarray(c1) - np.asarray(c0)).mean())
+    assert mean_abs < 2e-3, mean_abs
+
+
+def test_fused_triangle_grads_match_jnp():
+    # vertex/material gradients through the fused plane-form winner table
+    # (prim_table vjp: d_table -> cross/dot -> v0/e1/e2) vs the jnp
+    # backend's payload-recompute gradients
+    import jax
+    scene = _small_trimesh_scene()
+    cam = default_camera(scene)
+    g0 = _backend_grads(scene, cam, 32, 24, 2, "jnp")
+    g1 = _backend_grads(scene, cam, 32, 24, 2, "fused")
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g1)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g0)])
+    tol = 1e-7 + 2e-3 * np.abs(b) + 1e-4 * max(1e-30, np.abs(b).max())
+    ok = np.abs(a - b) <= tol
+    assert ok.mean() > 0.97, ok.mean()
+    # triangle-vertex gradients must actually flow
+    assert float(np.abs(np.asarray(g1[0].tris.v0)).max()) > 0
 
 
 def test_unaligned_ray_count():
@@ -58,6 +95,24 @@ def test_unaligned_ray_count():
     assert c1.shape == (333, 3)
     match = np.abs(np.asarray(c1) - np.asarray(c0)).max(axis=-1) < 1e-5
     assert match.mean() > 0.98
+
+
+def test_fused_beyond_vmem_sphere_cap():
+    # round-1 VERDICT: the fused kernel was capped at 1024 spheres (whole
+    # search table + tpq in one VMEM shot). The (ray block x primitive
+    # tile) grid lifts that: pad rtweekend to 2048 spheres (two 1024-wide
+    # uncalled tiles + 16 culled tiles) and require parity with the
+    # identically-padded jnp trace (padding spheres never hit, so this
+    # also matches the unpadded render).
+    scene = make_scene("rtweekend", pad_to=2048)
+    assert scene.n_pad == 2048
+    cam = default_camera(scene)
+    px = jnp.arange(32 * 24, dtype=jnp.int32)
+    o, d, base = camera_rays(cam, 32, 24, px, 0, 0)
+    c0, r0 = trace_rays(scene, o, d, base, 5, probe_jnp)
+    c1, r1 = trace_rays_fused(scene, o, d, base, 5)
+    match = np.abs(np.asarray(c1) - np.asarray(c0)).max(axis=-1) < 1e-5
+    assert match.mean() > 0.98, match.mean()
 
 
 def test_trace_parity_mean_error_bounded():

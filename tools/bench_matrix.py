@@ -87,7 +87,7 @@ def main():
     # --- config 4: trimesh 1080p, Möller-Trumbore in Pallas ---------------
     scene = make_scene("trimesh")
     cam = default_camera(scene)
-    for backend in ("pallas", "jnp"):
+    for backend in ("fused", "pallas", "jnp"):
         kw = dict(width=1920, height=1080, spp=2, sample_start=0,
                   backend=backend, ray_chunk=86400)
         _, rays = render_pass(scene, cam, **kw)

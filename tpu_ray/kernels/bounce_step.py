@@ -1,7 +1,7 @@
 """Fused bounce mega-kernels: search + winner gather + shading in one pass,
-forward AND backward.
+forward AND backward, for BOTH primitive types (spheres and triangles).
 
-The forward render's cost splits ~2:1 between the O(R*N) search and O(R)
+The forward render's cost splits ~2:1 between the O(R*P) search and O(R)
 per-bounce work (payload gathers, scatter math, RNG) — the latter is slow in
 XLA because every elementwise step round-trips the wavefront through HBM and
 the winner gathers are row-granular. These kernels keep one ray block
@@ -10,21 +10,37 @@ reference's whole RenderTile inner loop (reference main.cpp:387-482) as ONE
 kernel per bounce, for BOTH sweeps (SURVEY.md §7 step 4: "custom_vjp pairing
 forward Pallas with a hand-written backward ... saved-hit replay").
 
-Orientation: everything is channel-major. Ray state is [16, R] (rays on the
-128-lane axis) and the search runs as [N, BLOCK_R] — spheres on sublanes,
-rays on lanes:
+Grid layout: (ray blocks, primitive tiles). The ray-state block [16, BLOCK_R]
+stays resident in VMEM across the whole tile sweep (rightmost grid dim is
+innermost); each tile step streams one search-coefficient block and folds its
+candidates into a per-ray running-min scratch carry; the LAST tile step
+finalizes: winner unpack, tiled one-hot gather, shading, state write-out.
+Sphere tiles come first (block_n spheres each), triangle tiles after
+(block_m triangles each, Möller-Trumbore) — one global primitive id space
+(spheres, then tris), matching ops/intersect_tri.merge_payloads. The tile
+axis is also the unit of conservative culling (cull_mask) and lifts any
+whole-scene VMEM cap: primitive counts are bounded by HBM, not VMEM.
 
-  1. search: dcT = C @ D and -2 oc = (-2C) @ O are [N,3]x[3,BR] MXU
-     matmuls straight off the state rows (no per-bounce ray-major transpose
-     in XLA), the root-selection chain is ~12 VPU ops/pair, and the
-     nearest-hit reduction is a SUBLANE min (cross-lane reductions are the
-     expensive ones on TPU). Invalid roots are rejected arithmetically:
-     sqrt(disc<0) -> NaN and t <= eps -> negative both order ABOVE every
-     real hit under the sign-flipped-bits integer order, so the
-     valid-mask/select ops of the v1 kernel disappear.
-  2. winner "gather" as an MXU matmul: table [16,N] @ one_hot [N,BR]
-     -> winner [16,BR]; the one-hot operand is fused (never in HBM).
-  3. payload recompute + shading + counter RNG as [1,BR] lane-packed ops.
+  1. sphere search: ONE K-stacked MXU matmul per tile ([2bn,54] @ [54,BR])
+     computes the quadratic setup off the ray monomials; the root-selection
+     chain is ~12 VPU ops/pair; invalid roots are rejected arithmetically
+     (sqrt(disc<0) -> NaN, t <= eps -> negative: both order ABOVE every real
+     hit under the sign-flipped-bits integer order).
+  2. triangle search: ONE K-stacked matmul per tile ([4bm,96] @ [96,BR])
+     computes det / t*det / u*det / v*det row-stacked (the MXU bilinear
+     recast of Möller-Trumbore, kernels/tri_intersect.py), then the
+     sign-folded barycentric tests (~19 VPU ops/pair).
+  3. nearest hit: packed (t-bits | global index) single-reduction argmin
+     carried across tiles in one i32 scratch; auto-falls back to the exact
+     two-scratch carry when the index bits would eat too much mantissa
+     (P > _PACK_MAX_P) or on request (exact_argmin).
+  4. winner "gather" as tiled MXU matmuls: table [48,Pt] @ one_hot [Pt,BR]
+     accumulated over <=1024-wide primitive tiles (the one-hot operand never
+     exists in HBM, and VMEM never holds more than one tile of it).
+  5. payload recompute + shading + counter RNG as [1,BR] lane-packed ops;
+     triangles recompute t from the plane equation n.x = k (algebraically
+     identical to Möller-Trumbore's t), whose (n, k) live in the same winner
+     channels as the sphere (center, radius).
 
 Three kernels share ONE differentiable shading chain (`_shade`):
   - `_fwd_kernel`    : search + shade; also emits the per-ray winner index
@@ -36,29 +52,32 @@ Three kernels share ONE differentiable shading chain (`_shade`):
                        search-free forward re-execution.
   - `_bwd_kernel`    : jax.vjp of `_shade` traced INSIDE the kernel (the
                        whole linearization lives in VMEM), producing
-                       d_state_in and the d_table partial via a second MXU
-                       matmul d_winner @ one_hot^T accumulated across the
+                       d_state_in and the d_table partial via tiled MXU
+                       matmuls d_winner @ one_hot^T accumulated across the
                        (sequential) ray-block grid.
 
 `make_fused_sample` wires them into a jax.custom_vjp over one full
 (raygen -> B bounces) sample: forward saves ONLY the [B, R] i16 index stack
 (+ the tiny scene/camera pytrees); backward re-derives rays from the camera,
 replays states, then runs the reverse bounce sweep. Residual memory matches
-the jnp path's 'save_hits' policy; compute never re-runs the O(R*N) search.
+the jnp path's 'save_hits' policy; compute never re-runs the O(R*P) search.
 
 State channel layout [16, R] (f32; ch 13 is u32 bitcast):
    0-2 origin, 3-5 direction, 6-8 attenuation, 9-11 color,
    12 alive (0/1), 13 rng stream base, 14-15 unused.
-Shading table layout [16, N] (`scene_table`):
-   0-2 center, 3 radius, 4-6 albedo, 7-9 emissive, 10 specular, 11 ior,
-   12-15 unused.
-Search table layout [2N, 54] bf16 (`search_table`, stop-gradient by
+Winner table layout [16, P] (`prim_table`): sphere columns
+   0-2 center, 3 radius, 4-6 albedo, 7-9 emissive, 10 specular, 11 ior;
+triangle columns (same material slots)
+   0-2 geometric normal e1 x e2 (area-scaled), 3 plane constant n.v0.
+Sphere search table [2N, 54] bf16 (`search_table`, stop-gradient by
 construction): stacked tp / q coefficient rows against the ray monomials
 [o, d, o.d, |o|^2, 1], K-stacked as exact bf16 chunk groups — see
-`_tile_roots`.
+`_tile_roots`. Triangle search table [4M, 96] bf16: see
+kernels/tri_intersect.tri_search_tables.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -73,6 +92,14 @@ BLOCK_R = 1024  # swept 128-2048: per-block overhead beats finer dead-block skip
 _I32_MAX = 2**31 - 1
 _MIX_BOUNCE = 0x632BE59B
 _MIX_SLOT = 0xC2B2AE35
+_PACK_MAX_P = 2048   # beyond this the packed index bits cost >2^-13 of t
+_GATHER_TILE = 1024  # primitive tile of the one-hot winner gather (VMEM)
+_SPH_TILE_MAX = 1024  # sphere tile cap (tpq [2bn,BR] f32 = 8 MB scoped VMEM)
+# Triangle tile = TRI_PAD (128) everywhere: every soup padding divides it,
+# so ONE [4M,96] table serves the culled and uncalled paths, and the
+# kernel's tri m_pad equals the soup's (global ids stay in range). tpq4 is
+# [512,BR] f32 = 2 MB scoped VMEM per tile.
+_TRI_TILE = 128
 # Search-matmul precision must stay ~f32: disc = tp^2 - q needs absolute
 # error << r_min^2 (1.6e-4) against |c|^2 ~ 25 terms, i.e. ~2^-19 relative;
 # single-pass bf16 (DEFAULT) systematically deletes the small grid spheres
@@ -169,17 +196,22 @@ def _normalize_eps3(x, y, z):
             jnp.where(ok, z * inv, zero))
 
 
-def _shade(st, winner, live, sky_mask, rand, use_sky: bool):
+def _shade(st, winner, live, sky_mask, rand, use_sky: bool, is_tri=None):
     """One bounce's smooth state update given the (non-diff) winner.
 
     st [16,BR] f32 state, winner [16,BR] gathered winner columns (garbage on
     non-live lanes — masked out), live / sky_mask [1,BR] bool closures
-    (alive&hit / alive&miss), rand = 4x [1,BR] f32 draws. -> [16,BR].
+    (alive&hit / alive&miss), rand = 4x [1,BR] f32 draws, is_tri optional
+    [1,BR] bool closure (the winner is a triangle; None for sphere-only
+    scenes — a static property, so the triangle chain costs nothing there).
+    -> [16,BR].
 
     Differentiable w.r.t. st and winner: this single function is the
     reference's per-pixel shading (main.cpp:446-481 + sky 433-440 + payload
-    recompute 401-417), and `_bwd_kernel` takes jax.vjp of it in-kernel.
-    Every sqrt/normalize is guarded so reverse-mode never sees sqrt(0)/NaN.
+    recompute 401-417, extended with the triangle plane recompute of
+    ops/intersect_tri.tri_payload), and `_bwd_kernel` takes jax.vjp of it
+    in-kernel. Every sqrt/normalize/reciprocal is guarded so reverse-mode
+    never sees sqrt(0)/NaN/inf.
     """
     def ch(a, c):
         return a[c:c + 1, :]
@@ -203,7 +235,7 @@ def _shade(st, winner, live, sky_mask, rand, use_sky: bool):
         cg_ = cg_ + jnp.where(sky_mask, ((1.0 - a) + a * 0.7) * ay_, 0.0)
         cb_ = cb_ + jnp.where(sky_mask, ((1.0 - a) + a * 1.0) * az_, 0.0)
 
-    # payload recompute (projection form, reference main.cpp:401-417)
+    # sphere payload recompute (projection form, reference main.cpp:401-417)
     mx, my, mz = cx_ - ox_, cy_ - oy_, cz_ - oz_
     tp2 = mx * dx_ + my * dy_ + mz * dz_
     px_, py_, pz_ = mx - dx_ * tp2, my - dy_ * tp2, mz - dz_ * tp2
@@ -212,9 +244,25 @@ def _shade(st, winner, live, sky_mask, rand, use_sky: bool):
     tn = tp2 - xx
     inside = tn < F32_EPS
     tt = jnp.where(inside, tp2 + xx, tn)
+    # sphere outward normal at the hit (area-scale r)
+    nrx, nry, nrz = dx_ * tt - mx, dy_ * tt - my, dz_ * tt - mz
+
+    if is_tri is not None:
+        # triangle payload recompute (plane form): winner carries the
+        # geometric normal n = e1 x e2 in the center slots and the plane
+        # constant k = n.v0 in the radius slot; t = (k - n.o)/(n.d) is
+        # algebraically Möller-Trumbore's t (ops/intersect_tri.tri_payload),
+        # inside = backface (d.n > 0, reference main.cpp:456-458 rule)
+        nd = dx_ * cx_ + dy_ * cy_ + dz_ * cz_
+        no = ox_ * cx_ + oy_ * cy_ + oz_ * cz_
+        t_t = (r_ - no) / jnp.where(nd == 0.0, 1.0, nd)
+        tt = jnp.where(is_tri, t_t, tt)
+        inside = jnp.where(is_tri, nd > 0.0, inside)
+        nrx = jnp.where(is_tri, cx_, nrx)
+        nry = jnp.where(is_tri, cy_, nry)
+        nrz = jnp.where(is_tri, cz_, nrz)
 
     nox, noy, noz = ox_ + dx_ * tt, oy_ + dy_ * tt, oz_ + dz_ * tt
-    nrx, nry, nrz = dx_ * tt - mx, dy_ * tt - my, dz_ * tt - mz
 
     # emissive add + albedo attenuation (main.cpp:446-447)
     cr_ = cr_ + jnp.where(live, emr * ax_, 0.0)
@@ -286,19 +334,50 @@ def _shade(st, winner, live, sky_mask, rand, use_sky: bool):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _winner_from_idx(table_ref, idx, n_pad):
-    """Gather as an EXACT 3-pass bf16 matmul: the one-hot operand is
-    bf16-representable (0/1) and the f32 table is pre-split into three
-    bf16 chunks whose sum reconstructs it exactly (8+8+8 mantissa bits),
-    so three DEFAULT-precision passes with f32 accumulation equal the f32
-    gather at half the bf16x6 HIGHEST cost. idx [1,BR] i32; -1 (miss/dead)
-    selects no row -> all-zero winner column."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, idx.shape[1]), 0)
-    onehot = (rows == idx).astype(jnp.bfloat16)
-    w48 = jnp.dot(table_ref[:], onehot, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)     # [48,BR]
+def _gather_winner(table_ref, idx, p_pad: int):
+    """Winner gather as tiled EXACT 3-pass bf16 matmuls: the one-hot operand
+    is bf16-representable (0/1) and the f32 table is pre-split into three
+    bf16 chunks whose sum reconstructs it exactly (8+8+8 mantissa bits), so
+    DEFAULT-precision passes with f32 accumulation equal the f32 gather.
+    Tiled over <=_GATHER_TILE-wide primitive slices so the one-hot never
+    exceeds ~2 MB of VMEM at any primitive count. idx [1,BR] i32; -1
+    (miss/dead) selects no row -> all-zero winner column."""
+    br = idx.shape[1]
+    w48 = jnp.zeros((48, br), jnp.float32)
+    last_oh = None
+    for p0 in range(0, p_pad, _GATHER_TILE):
+        pb = min(_GATHER_TILE, p_pad - p0)
+        last_oh = _onehot_tile(idx, p0, pb)
+        w48 = w48 + jnp.dot(table_ref[:, p0:p0 + pb], last_oh,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
     winner = w48[0:16, :] + w48[16:32, :] + w48[32:48, :]
-    return winner, onehot
+    # single-tile one-hot returned for reuse by the backward's transpose
+    return winner, (last_oh if p_pad <= _GATHER_TILE else None)
+
+
+def _onehot_tile(idx, p0: int, pb: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (pb, idx.shape[1]), 0) + p0
+    return (rows == idx).astype(jnp.bfloat16)
+
+
+def _scatter_dtable(dtable_ref, d_wn, idx, p_pad: int, onehot=None):
+    """Gather transpose on the MXU, same exact 3-chunk bf16 scheme, tiled
+    like _gather_winner: d_table[:, tile] += d_winner @ one_hot^T.
+    onehot: pre-built single-tile one-hot to reuse (p_pad <= _GATHER_TILE;
+    saves the second O(P) comparison sweep in the backward kernel)."""
+    c1, c2, c3 = _split3_bf16(
+        d_wn, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    c = jnp.concatenate([c1, c2, c3], axis=0)              # [48,BR]
+    for p0 in range(0, p_pad, _GATHER_TILE):
+        pb = min(_GATHER_TILE, p_pad - p0)
+        oh = onehot if onehot is not None else _onehot_tile(idx, p0, pb)
+        d48 = jax.lax.dot_general(
+            c, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # [48,pb]
+        dtable_ref[:, p0:p0 + pb] = dtable_ref[:, p0:p0 + pb] + (
+            d48[0:16, :] + d48[16:32, :] + d48[32:48, :])
 
 
 def _tile_roots(st, stab_ref, block_n: int):
@@ -349,10 +428,42 @@ def _tile_roots(st, stab_ref, block_n: int):
     return t - F32_EPS
 
 
-def _pack_bits(n_pad: int):
+def _tile_tri_t(st, tri_ref, block_m: int):
+    """Shifted Möller-Trumbore valid-t for ONE triangle tile, [bm,BR]
+    (t - eps where valid, F32_MAX otherwise — F32_MAX orders as the miss
+    sentinel in both carry modes). One K-stacked DEFAULT matmul computes
+    det / t*det / u*det / v*det row-stacked against the ray monomials
+    [o, d, o (x) d, 1] (kernels/tri_intersect._tri_t, same math)."""
+    from tpu_ray.ops.intersect_tri import _DET_EPS
+    o = st[0:3, :]
+    d = st[3:6, :]
+    w = [o[j:j + 1, :] * d[k:k + 1, :] for j in range(3) for k in range(3)]
+    one = jnp.ones_like(o[0:1, :])
+    feats = jnp.concatenate([o, d, *w, one], axis=0)       # [16,BR]
+    b1, b2, b3 = _split3_bf16(
+        feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    bk = jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [96,BR]
+    tpq = jnp.dot(tri_ref[:], bk, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)     # [4bm,BR]
+    det = tpq[0:block_m, :]
+    t_d = tpq[block_m:2 * block_m, :]
+    u_d = tpq[2 * block_m:3 * block_m, :]
+    v_d = tpq[3 * block_m:4 * block_m, :]
+
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    absdet = det * s
+    us = u_d * s
+    vs = v_d * s
+    t = t_d * (1.0 / jnp.where(absdet > _DET_EPS, det, 1.0))
+    valid = ((absdet > _DET_EPS) & (us >= 0.0) & (vs >= 0.0)
+             & (us + vs <= absdet) & (t > F32_EPS))
+    return jnp.where(valid, t - F32_EPS, F32_MAX)
+
+
+def _pack_bits(p_pad: int):
     """Packed-argmin layout: index bits stolen from the t mantissa, plus
     the miss sentinel in sign-flipped-i32 space (F32_MAX bit pattern)."""
-    idx_bits = max(1, (n_pad - 1).bit_length())
+    idx_bits = max(1, (p_pad - 1).bit_length())
     low_mask = (1 << idx_bits) - 1
     miss_bits = int(np.float32(F32_MAX).view(np.uint32)) & (
         ~low_mask & 0xFFFFFFFF)
@@ -360,18 +471,16 @@ def _pack_bits(n_pad: int):
     return low_mask, miss_s
 
 
-def _search_tile_packed(st, stab_ref, row0, block_n: int, low_mask: int):
-    """One tile's packed (t | index) sublane min, [1,BR] i32 (sign-flipped
-    order: positive-f32 bits order like ints; negatives/NaN order above
-    after flipping the sign bit). Winner selection compares t at ~2^-14
-    relative resolution, so near-exact ties can flip (a fwd accuracy/speed
-    knob; exact_argmin=True and the jnp backend stay exact)."""
-    tb = _tile_roots(st, stab_ref, block_n)
+def _pack_tile(tb, row0, low_mask: int):
+    """One tile's packed (t | global index) sublane min, [1,BR] i32
+    (sign-flipped order: positive-f32 bits order like ints; negatives/NaN
+    order above after flipping the sign bit). Winner selection compares t
+    at ~2^-14 relative resolution, so near-exact ties can flip (a fwd
+    accuracy/speed knob; exact mode and the jnp backend stay exact)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 0) + row0
     bits = _u32(tb)
     packed = (bits & jnp.uint32(~low_mask & 0xFFFFFFFF)) | _u32(rows)
-    ps = pltpu.bitcast(packed ^ jnp.uint32(0x80000000), jnp.int32)
-    return jnp.min(ps, axis=0, keepdims=True)          # [1,BR]
+    return pltpu.bitcast(packed ^ jnp.uint32(0x80000000), jnp.int32)
 
 
 def _unpack(pmin, low_mask: int, miss_s: int):
@@ -382,11 +491,15 @@ def _unpack(pmin, low_mask: int, miss_s: int):
     return idx, hit
 
 
-def _search_tile_exact(st, stab_ref, row0, block_n: int):
-    """One tile's exact two-reduction (tmin [1,BR] f32, idx [1,BR] i32);
-    full-precision t comparison — the bit-stable verification mode."""
-    tb = _tile_roots(st, stab_ref, block_n)
-    tv = jnp.where(tb > 0.0, tb, F32_MAX)
+def _exact_tile(tb, row0, shift_valid: bool):
+    """One tile's exact (tmin [1,BR] f32, idx [1,BR] i32) two-reduction;
+    full-precision t comparison — the bit-stable verification mode.
+    shift_valid: sphere tiles emit tb <= 0/NaN for invalid (validity = t>0);
+    triangle tiles emit F32_MAX for invalid already."""
+    if shift_valid:
+        tv = jnp.where(tb > 0.0, tb, F32_MAX)
+    else:
+        tv = tb
     tmin = jnp.min(tv, axis=0, keepdims=True)
     rows = jax.lax.broadcasted_iota(jnp.int32, tb.shape, 0) + row0
     cand = jnp.where(tv == tmin, rows, jnp.int32(_I32_MAX))
@@ -394,94 +507,118 @@ def _search_tile_exact(st, stab_ref, row0, block_n: int):
     return tmin, idx
 
 
-def _fwd_kernel(*refs, n_pad: int, block_n: int, use_sky: bool,
-                exact_argmin: bool, culled: bool):
+def _fwd_kernel(*refs, n_pad: int, m_pad: int, p_pad: int, block_n: int,
+                block_m: int, use_sky: bool, pack: bool, culled: bool):
+    n_tiles_s = n_pad // block_n if n_pad else 0
+    n_tiles_t = m_pad // block_m if m_pad else 0
+    n_tiles = n_tiles_s + n_tiles_t
+    k = 0
+    b_ref = refs[k]; k += 1
+    mask_ref = None
     if culled:
-        b_ref, mask_ref, state_ref, stab_ref, table_ref, out_ref, \
-            idx_ref = refs
-    else:
-        b_ref, state_ref, stab_ref, table_ref, out_ref, idx_ref = refs
+        mask_ref = refs[k]; k += 1
+    state_ref = refs[k]; k += 1
+    stab_ref = refs[k]; k += 1
+    tri_ref = None
+    if m_pad:
+        tri_ref = refs[k]; k += 1
+    table_ref, out_ref, idx_ref = refs[k:k + 3]
+    scratch = refs[k + 3:]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     # Whole-block dead-ray skip: rays die in raster-coherent clumps (sky
     # pixels at bounce 1, absorbed paths later), so entire ray blocks go
     # dead as bounces progress — the dynamic early-out XLA's static graph
     # cannot express (the reference's per-pixel `break`, main.cpp:433-440,
     # reborn at block granularity).
     block_alive = jnp.max(state_ref[12:13, :]) > 0.5
-    # mask is ONE flat [1, B*T] SMEM block shared by every grid step
-    # (per-step (1, n_tiles) blocks violate the TPU block-shape rules);
-    # this step's row starts at program_id * n_tiles. Hoisted out of the
-    # pl.when closures: program_id has no lowering inside their cond body.
-    m0 = pl.program_id(0) * (n_pad // block_n) if culled else 0
+    # Sphere-tile / tri-tile culling (culled=True): each tile step is
+    # guarded by the per-(ray block, tile) conservative reachability mask
+    # (cull_mask) — a culled tile's matmul+chain never executes.
+    # Output-invariant by construction: the mask is 1 whenever any ray in
+    # the block could hit any primitive in the tile. This is the TPU
+    # rebirth of the reference's sphere-group early-out (main.cpp:411,421)
+    # at tile granularity. The mask is ONE flat [1, B*T] SMEM block shared
+    # by every grid step.
+    run = block_alive
+    if culled:
+        run = run & (mask_ref[0, i * n_tiles + j] > 0)
 
-    @pl.when(jnp.logical_not(block_alive))
+    low_mask, miss_s = _pack_bits(p_pad)
+    if pack:
+        carry_s, = scratch
+
+        @pl.when(j == 0)
+        def _():
+            carry_s[:] = jnp.full_like(carry_s, miss_s)
+    else:
+        tmin_s, idxc_s = scratch
+
+        @pl.when(j == 0)
+        def _():
+            tmin_s[:] = jnp.full_like(tmin_s, F32_MAX)
+            idxc_s[:] = jnp.zeros_like(idxc_s)
+
+    if n_tiles_s:
+        @pl.when(run & (j < n_tiles_s))
+        def _():
+            tb = _tile_roots(state_ref[:], stab_ref, block_n)
+            row0 = j * block_n
+            if pack:
+                carry_s[:] = jnp.minimum(
+                    carry_s[:],
+                    jnp.min(_pack_tile(tb, row0, low_mask), axis=0,
+                            keepdims=True))
+            else:
+                tmin, idxc = _exact_tile(tb, row0, shift_valid=True)
+                better = tmin < tmin_s[:]
+                idxc_s[:] = jnp.where(better, idxc, idxc_s[:])
+                tmin_s[:] = jnp.where(better, tmin, tmin_s[:])
+
+    if n_tiles_t:
+        @pl.when(run & (j >= n_tiles_s))
+        def _():
+            tb = _tile_tri_t(state_ref[:], tri_ref, block_m)
+            row0 = n_pad + (j - n_tiles_s) * block_m
+            if pack:
+                carry_s[:] = jnp.minimum(
+                    carry_s[:],
+                    jnp.min(_pack_tile(tb, row0, low_mask), axis=0,
+                            keepdims=True))
+            else:
+                tmin, idxc = _exact_tile(tb, row0, shift_valid=False)
+                better = tmin < tmin_s[:]
+                idxc_s[:] = jnp.where(better, idxc, idxc_s[:])
+                tmin_s[:] = jnp.where(better, tmin, tmin_s[:])
+
+    @pl.when((j == n_tiles - 1) & jnp.logical_not(block_alive))
     def _():
         out_ref[:] = state_ref[:]
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
-    @pl.when(block_alive)
+    @pl.when((j == n_tiles - 1) & block_alive)
     def _():
         st = state_ref[:]
-        n_tiles = n_pad // block_n
-        low_mask, miss_s = _pack_bits(n_pad)
-        br = st.shape[1]
-
-        # Sphere-TILE culling (culled=True; primary-bounce only — see
-        # trace_rays_fused): the search runs as a static loop over
-        # block_n-sphere tiles, each guarded by the per-(ray block, tile)
-        # conservative reachability mask (cull_mask) — a culled tile's
-        # matmul+chain never executes. Output-invariant by construction:
-        # the mask is 1 whenever any ray in the block could hit any sphere
-        # in the tile. This is the TPU rebirth of the reference's
-        # sphere-group early-out (main.cpp:411,421) at tile granularity.
-        # culled=False (block_n = n_pad): ONE unconditional full-scene
-        # matmul + reduction — no cond overhead, maximal MXU shapes.
-        def guard(j, live_fn, noop, carry):
-            if not culled:
-                return live_fn(carry)
-            return jax.lax.cond(mask_ref[0, m0 + j] > 0, live_fn, noop,
-                                carry)
-
-        if exact_argmin:
-            tmin = jnp.full((1, br), F32_MAX, jnp.float32)
-            idxc = jnp.zeros((1, br), jnp.int32)
-            for j in range(n_tiles):
-                sl = stab_ref[2 * block_n * j:2 * block_n * (j + 1), :]
-
-                def live_fn(c, sl=sl, j=j):
-                    tmin, idxc = c
-                    tt, ii = _search_tile_exact(st, sl, j * block_n,
-                                                block_n)
-                    better = tt < tmin
-                    return (jnp.where(better, tt, tmin),
-                            jnp.where(better, ii, idxc))
-
-                tmin, idxc = guard(j, live_fn, lambda c: c, (tmin, idxc))
-            hit = tmin < F32_MAX
-            idx = idxc
+        if pack:
+            idx, hit = _unpack(carry_s[:], low_mask, miss_s)
         else:
-            pmin = jnp.full((1, br), miss_s, jnp.int32)
-            for j in range(n_tiles):
-                sl = stab_ref[2 * block_n * j:2 * block_n * (j + 1), :]
-
-                def live_fn(pmin, sl=sl, j=j):
-                    return jnp.minimum(pmin, _search_tile_packed(
-                        st, sl, j * block_n, block_n, low_mask))
-
-                pmin = guard(j, live_fn, lambda p: p, pmin)
-            idx, hit = _unpack(pmin, low_mask, miss_s)
-
-        winner, _ = _winner_from_idx(table_ref, idx, n_pad)
+            idx = idxc_s[:]
+            hit = tmin_s[:] < F32_MAX
+        winner, _ = _gather_winner(table_ref, idx, p_pad)
         alive = st[12:13, :] > 0.5
         live = alive & hit
         sky_mask = alive & jnp.logical_not(hit)
+        is_tri = (idx >= n_pad) if m_pad else None
         rand = _rand_draws(st, b_ref)
-        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky)
+        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky,
+                            is_tri)
         # the saved hit record: winner index for live rays, -1 otherwise
         idx_ref[:] = jnp.where(live, idx, jnp.int32(-1))
 
 
 def _replay_kernel(b_ref, state_ref, idx_ref, table_ref, out_ref, *,
-                   n_pad: int, use_sky: bool):
+                   n_pad: int, p_pad: int, use_sky: bool):
     block_alive = jnp.max(state_ref[12:13, :]) > 0.5
 
     @pl.when(jnp.logical_not(block_alive))
@@ -492,16 +629,19 @@ def _replay_kernel(b_ref, state_ref, idx_ref, table_ref, out_ref, *,
     def _():
         st = state_ref[:]
         idx = idx_ref[:]
-        winner, _ = _winner_from_idx(table_ref, idx, n_pad)
+        winner, _ = _gather_winner(table_ref, idx, p_pad)
         live = idx >= 0                       # saved as -1 for miss AND dead
         alive = st[12:13, :] > 0.5
         sky_mask = alive & jnp.logical_not(live)
+        is_tri = (idx >= n_pad) if p_pad > n_pad else None
         rand = _rand_draws(st, b_ref)
-        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky)
+        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky,
+                            is_tri)
 
 
 def _bwd_kernel(b_ref, state_ref, idx_ref, table_ref, dout_ref,
-                dstate_ref, dtable_ref, *, n_pad: int, use_sky: bool):
+                dstate_ref, dtable_ref, *, n_pad: int, p_pad: int,
+                use_sky: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -519,30 +659,22 @@ def _bwd_kernel(b_ref, state_ref, idx_ref, table_ref, dout_ref,
     def _():
         st = state_ref[:]
         idx = idx_ref[:]
-        winner, onehot = _winner_from_idx(table_ref, idx, n_pad)
+        winner, onehot = _gather_winner(table_ref, idx, p_pad)
         live = idx >= 0
         alive = st[12:13, :] > 0.5
         sky_mask = alive & jnp.logical_not(live)
+        is_tri = (idx >= n_pad) if p_pad > n_pad else None
         rand = _rand_draws(st, b_ref)
 
         # the whole linearization of the shading chain, traced in-kernel:
         # every residual stays in VMEM, nothing touches HBM
         _, vjp_fn = jax.vjp(
-            lambda s_, w_: _shade(s_, w_, live, sky_mask, rand, use_sky),
+            lambda s_, w_: _shade(s_, w_, live, sky_mask, rand, use_sky,
+                                  is_tri),
             st, winner)
         d_st, d_wn = vjp_fn(dout_ref[:])
         dstate_ref[:] = d_st
-        # gather transpose on the MXU, same exact 3-chunk bf16 scheme:
-        # d_table += d_winner @ one_hot^T with d_winner split at runtime
-        c1, c2, c3 = _split3_bf16(
-            d_wn, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
-        d48 = jax.lax.dot_general(
-            jnp.concatenate([c1, c2, c3], axis=0), onehot,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # [48,N]
-        dtable_ref[:] = dtable_ref[:] + (
-            d48[0:16, :] + d48[16:32, :] + d48[32:48, :])
+        _scatter_dtable(dtable_ref, d_wn, idx, p_pad, onehot)
 
 
 # ---------------------------------------------------------------------------
@@ -550,7 +682,7 @@ def _bwd_kernel(b_ref, state_ref, idx_ref, table_ref, dout_ref,
 # ---------------------------------------------------------------------------
 
 def scene_table(scene: Scene):
-    """[16, N] shading constant table (see module docstring)."""
+    """[16, N] sphere shading constant table (see module docstring)."""
     c = scene.center.T                               # [3,N]
     r = scene.radius[None, :]
     zero = jnp.zeros_like(r)
@@ -559,10 +691,31 @@ def scene_table(scene: Scene):
         scene.ior[None, :], zero, zero, zero, zero], axis=0)
 
 
+def prim_table(scene: Scene):
+    """[16, P] winner table over the global primitive id space: sphere
+    columns (scene_table) then triangle columns [n = e1 x e2 (3), k = n.v0,
+    albedo (3), emissive (3), specular, ior] — the plane-form payload whose
+    (n, k) occupy the sphere (center, radius) slots so `_shade`'s triangle
+    branch is two selects, and through which vertex gradients flow
+    (d_table -> cross/dot vjp -> v0/e1/e2). Padding triangles (e1 = e2 = 0)
+    get all-zero columns and are never winners (det = 0 rejects them)."""
+    sph = scene_table(scene)
+    if scene.tris is None:
+        return sph
+    t = scene.tris
+    n = jnp.cross(t.e1, t.e2)                        # [M,3]
+    kplane = jnp.sum(n * t.v0, axis=1)[None, :]      # [1,M]
+    zero = jnp.zeros_like(kplane)
+    tri = jnp.concatenate([
+        n.T, kplane, t.albedo.T, t.emissive.T, t.specular[None, :],
+        t.ior[None, :], zero, zero, zero, zero], axis=0)
+    return jnp.concatenate([sph, tri], axis=1)
+
+
 def table_chunks(table):
-    """f32 [16,N] -> bf16 [48,N]: three stacked bf16 chunks that sum to
+    """f32 [16,P] -> bf16 [48,P]: three stacked bf16 chunks that sum to
     the f32 table EXACTLY (8+8+8 mantissa bits cover f32's 24) — the
-    operand encoding for the exact 3-pass gathers (_winner_from_idx).
+    operand encoding for the exact 3-pass gathers (_gather_winner).
     Truncation-split (see _split3_bf16) so the residuals survive XLA's
     excess-precision simplifier when `table` is traced, not constant."""
     c1, c2, c3 = _split3_bf16(
@@ -573,6 +726,7 @@ def table_chunks(table):
 
 
 BLOCK_N = 128   # spheres per cull tile (SPHERE_PAD multiple, so n_pad | it)
+TRI_BLOCK_M = 128  # triangles per cull tile (TRI_PAD multiple)
 
 
 def search_table(scene: Scene, block_n: int = BLOCK_N):
@@ -616,19 +770,7 @@ def _spread3(x):
     return x
 
 
-def morton_perm(scene: Scene):
-    """Spatial (Morton/Z-order) sphere permutation -> [N] i32.
-
-    Scene builders emit spheres in *generation* order (reference
-    main.cpp:93-268), which scatters each 128-sphere cull tile across the
-    whole world — every tile AABB then covers everything and cull_mask
-    never fires. Sorting by the 30-bit Morton code of the quantized center
-    makes tiles spatially compact. Padding spheres (radius <= 0) sort
-    last, preserving the contiguous radius-0 tail. stop_gradient'd: a pure
-    reindexing, applied symmetrically to all tables."""
-    c = jax.lax.stop_gradient(scene.center)
-    r = jax.lax.stop_gradient(scene.radius)
-    valid = r > 0.0
+def _morton_codes(c, valid):
     v3 = valid[:, None]
     lo = jnp.min(jnp.where(v3, c, F32_MAX), axis=0)
     hi = jnp.max(jnp.where(v3, c, -F32_MAX), axis=0)
@@ -636,18 +778,59 @@ def morton_perm(scene: Scene):
     q = jnp.clip((c - lo) / ext * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
     code = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << jnp.uint32(1))
             | (_spread3(q[:, 2]) << jnp.uint32(2)))
-    code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
-    return jnp.argsort(code).astype(jnp.int32)
+    return jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
+
+
+def morton_perm(scene: Scene):
+    """Spatial (Morton/Z-order) sphere permutation -> [N] i32.
+
+    Scene builders emit spheres in *generation* order (reference
+    main.cpp:93-268), which scatters each cull tile across the whole
+    world — every tile AABB then covers everything and cull_mask never
+    fires. Sorting by the 30-bit Morton code of the quantized center makes
+    tiles spatially compact. Padding spheres (radius <= 0) sort last,
+    preserving the contiguous radius-0 tail. stop_gradient'd: a pure
+    reindexing, applied symmetrically to all tables."""
+    c = jax.lax.stop_gradient(scene.center)
+    r = jax.lax.stop_gradient(scene.radius)
+    return jnp.argsort(_morton_codes(c, r > 0.0)).astype(jnp.int32)
+
+
+def tri_morton_perm(tris):
+    """Morton permutation of a triangle soup by centroid; degenerate
+    padding triangles (e1 = e2 = 0) sort last."""
+    v0 = jax.lax.stop_gradient(tris.v0)
+    e1 = jax.lax.stop_gradient(tris.e1)
+    e2 = jax.lax.stop_gradient(tris.e2)
+    valid = (jnp.sum(e1 * e1 + e2 * e2, axis=1)) > 0.0
+    centroid = v0 + (e1 + e2) * (1.0 / 3.0)
+    return jnp.argsort(_morton_codes(centroid, valid)).astype(jnp.int32)
 
 
 def permute_spheres(scene: Scene, perm):
     """Scene with the per-sphere arrays reordered by perm (differentiable:
     the vjp scatters cotangents back through the gather)."""
-    import dataclasses
     return dataclasses.replace(
         scene, center=scene.center[perm], radius=scene.radius[perm],
         albedo=scene.albedo[perm], emissive=scene.emissive[perm],
         specular=scene.specular[perm], ior=scene.ior[perm])
+
+
+def permute_tris(tris, perm):
+    return dataclasses.replace(
+        tris, v0=tris.v0[perm], e1=tris.e1[perm], e2=tris.e2[perm],
+        albedo=tris.albedo[perm], emissive=tris.emissive[perm],
+        specular=tris.specular[perm], ior=tris.ior[perm])
+
+
+def permute_scene(scene: Scene):
+    """Morton-permute spheres (and the triangle soup, when present)."""
+    scene = permute_spheres(scene, morton_perm(scene))
+    if scene.tris is not None:
+        scene = dataclasses.replace(
+            scene, tris=permute_tris(scene.tris,
+                                     tri_morton_perm(scene.tris)))
+    return scene
 
 
 def tile_bounds(scene: Scene, block_n: int = BLOCK_N):
@@ -665,6 +848,23 @@ def tile_bounds(scene: Scene, block_n: int = BLOCK_N):
     n_t = max(1, c.shape[0] // block_n)
     return (lo.reshape(n_t, block_n, 3).min(axis=1),
             hi.reshape(n_t, block_n, 3).max(axis=1))
+
+
+def tri_tile_bounds(tris, block_m: int = TRI_BLOCK_M):
+    """AABBs of the triangle tiles (vertex extremes over {v0, v0+e1,
+    v0+e2}); degenerate padding triangles get empty boxes."""
+    v0 = jax.lax.stop_gradient(tris.v0)
+    e1 = jax.lax.stop_gradient(tris.e1)
+    e2 = jax.lax.stop_gradient(tris.e2)
+    valid = ((jnp.sum(e1 * e1 + e2 * e2, axis=1)) > 0.0)[:, None]
+    v1, v2 = v0 + e1, v0 + e2
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    lo = jnp.where(valid, lo, F32_MAX)
+    hi = jnp.where(valid, hi, -F32_MAX)
+    n_t = max(1, v0.shape[0] // block_m)
+    return (lo.reshape(n_t, block_m, 3).min(axis=1),
+            hi.reshape(n_t, block_m, 3).max(axis=1))
 
 
 def ray_block_bounds(state, block_r: int):
@@ -688,7 +888,7 @@ def ray_block_bounds(state, block_r: int):
 
 
 def cull_mask(olo, ohi, dlo, dhi, tlo, thi):
-    """Conservative (ray block x sphere tile) reachability -> [B,T] i32.
+    """Conservative (ray block x primitive tile) reachability -> [B,T] i32.
 
     Interval relaxation: with o_k in [olo_k, ohi_k] and d_k in
     [dlo_k, dhi_k] independently, the reachable set on axis k at ray
@@ -699,9 +899,9 @@ def cull_mask(olo, ohi, dlo, dhi, tlo, thi):
         olo_k + t*dlo_k <= thi_k   and   ohi_k + t*dhi_k >= tlo_k.
     Each constraint is linear in t -> a t-interval; the mask is 1 iff the
     six intervals and [0, inf) intersect. Any real intersection point
-    o + t*d lies ON the winning sphere, hence inside the radius-inflated
-    tile AABB, so culled tiles can never contain the nearest hit and
-    masked rendering is BIT-IDENTICAL to unmasked."""
+    o + t*d lies ON the winning primitive, hence inside the tile AABB, so
+    culled tiles can never contain the nearest hit and masked rendering is
+    BIT-IDENTICAL to unmasked."""
     inf = jnp.float32(np.inf)
 
     def le_interval(a, b, c):
@@ -721,9 +921,14 @@ def cull_mask(olo, ohi, dlo, dhi, tlo, thi):
 
 
 def bounce_cull_mask(scene: Scene, state, block_r: int,
-                     block_n: int = BLOCK_N):
-    """Per-bounce cull mask [R/block_r, n_pad/block_n] for bounce_fwd."""
+                     block_n: int = BLOCK_N, block_m: int = TRI_BLOCK_M):
+    """Per-bounce cull mask [R/block_r, T] for bounce_fwd: sphere tiles
+    first, then triangle tiles (when the scene has a soup)."""
     tlo, thi = tile_bounds(scene, block_n)
+    if scene.tris is not None:
+        tl2, th2 = tri_tile_bounds(scene.tris, block_m)
+        tlo = jnp.concatenate([tlo, tl2], axis=0)
+        thi = jnp.concatenate([thi, th2], axis=0)
     return cull_mask(*ray_block_bounds(state, block_r), tlo, thi)
 
 
@@ -736,78 +941,120 @@ def _smem_bounce(b):
 
 
 def _check_shapes(table48, state, block_r):
-    n_pad = table48.shape[1]
+    p_pad = table48.shape[1]
     assert table48.shape[0] == 48 and table48.dtype == jnp.bfloat16, (
-        "kernels take the bf16 chunk table (table_chunks(scene_table(s)))")
+        "kernels take the bf16 chunk table (table_chunks(prim_table(s)))")
     r_tot = state.shape[1]
     assert r_tot % block_r == 0, (r_tot, block_r)
-    assert n_pad <= 1024, "single-shot search; use the jnp path beyond 1k"
-    return n_pad, r_tot
+    return p_pad, r_tot
 
 
-@functools.partial(jax.jit, static_argnames=("use_sky", "block_r",
-                                             "block_n", "exact_argmin"))
-def bounce_fwd(table48, stab, state, bounce, mask=None, *, use_sky: bool,
-               block_r: int = BLOCK_R, block_n: int = BLOCK_N,
+def _use_pack(p_pad: int, exact_argmin: bool) -> bool:
+    # beyond _PACK_MAX_P the packed (t|idx) bits eat too much t mantissa
+    # (wrong-winner flips on near-ties grow past ~2^-13 relative), so the
+    # exact two-scratch carry takes over automatically
+    return (not exact_argmin) and p_pad <= _PACK_MAX_P
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "use_sky", "block_r", "block_n", "block_m", "exact_argmin"))
+def bounce_fwd(table48, stab, state, bounce, mask=None, tri_tab=None, *,
+               use_sky: bool, block_r: int = BLOCK_R,
+               block_n: int = BLOCK_N, block_m: int = TRI_BLOCK_M,
                exact_argmin: bool = False):
-    """One fused forward bounce. table48 [48,N] bf16 chunk table,
-    stab [2N,54] bf16 tile-major (search_table), state [16,R] (R multiple of
-    block_r), bounce [] i32, mask optional [R/block_r, N/block_n] i32
-    tile-cull mask (bounce_cull_mask). mask=None compiles the UNCULLED
-    kernel: one full-scene search matmul, no per-tile conds (the fast
-    shape for incoherent bounces, where the mask never fires anyway)
-    -> (new state [16,R], winner idx [R] i32, -1 = miss/dead)."""
-    n_pad, r_tot = _check_shapes(table48, state, block_r)
+    """One fused forward bounce over the (ray blocks x primitive tiles)
+    grid. table48 [48,P] bf16 chunk table (prim_table), stab [2N,54] bf16
+    tile-major sphere search table (search_table, laid out at THIS call's
+    block_n), state [16,R] (R multiple of block_r), bounce [] i32, mask
+    optional [R/block_r, T] i32 tile-cull mask (bounce_cull_mask), tri_tab
+    optional [4M,96] bf16 triangle search table
+    (kernels/tri_intersect.tri_search_tables at THIS call's block_m).
+    mask=None compiles the UNCULLED kernel (no per-tile conds) and widens
+    the sphere tile to min(n_pad, 1024) — the fast shape for incoherent
+    bounces, where the mask never fires anyway.
+    -> (new state [16,R], winner idx [R] i32, -1 = miss/dead; triangle ids
+    offset by n_pad into the global primitive space)."""
+    p_pad, r_tot = _check_shapes(table48, state, block_r)
+    m_pad = 0 if tri_tab is None else tri_tab.shape[0] // 4
+    n_pad = p_pad - m_pad
     n_blocks = r_tot // block_r
     culled = mask is not None
     if not culled:
-        block_n = n_pad            # single unconditional tile
-    n_tiles = n_pad // block_n
-    mask_in = []
-    mask_spec = []
+        block_n = min(n_pad, _SPH_TILE_MAX)
+        block_m = min(m_pad, _TRI_TILE) if m_pad else block_m
+    assert n_pad % block_n == 0, (n_pad, block_n)
+    assert m_pad % block_m == 0 if m_pad else True, (m_pad, block_m)
+    n_tiles = n_pad // block_n + (m_pad // block_m if m_pad else 0)
+    pack = _use_pack(p_pad, exact_argmin)
+    n_tiles_s = n_pad // block_n
+
+    mask_in, mask_spec = [], []
     if culled:
         mask_in = [mask.reshape(1, n_blocks * n_tiles)]
-        mask_spec = [pl.BlockSpec((1, n_blocks * n_tiles), lambda i: (0, 0),
+        mask_spec = [pl.BlockSpec((1, n_blocks * n_tiles),
+                                  lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)]
+    tri_in, tri_spec = [], []
+    if m_pad:
+        tri_in = [tri_tab]
+        tri_spec = [pl.BlockSpec(
+            (4 * block_m, 96),
+            lambda i, j: (jnp.clip(j - n_tiles_s, 0,
+                                   m_pad // block_m - 1), 0),
+            memory_space=pltpu.VMEM)]
+    if pack:
+        scratch = [pltpu.VMEM((1, block_r), jnp.int32)]
+    else:
+        scratch = [pltpu.VMEM((1, block_r), jnp.float32),
+                   pltpu.VMEM((1, block_r), jnp.int32)]
+
     out, idx = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_pad=n_pad, block_n=block_n,
-                          use_sky=use_sky, exact_argmin=exact_argmin,
-                          culled=culled),
-        grid=(n_blocks,),
+        functools.partial(_fwd_kernel, n_pad=n_pad, m_pad=m_pad,
+                          p_pad=p_pad, block_n=block_n, block_m=block_m,
+                          use_sky=use_sky, pack=pack, culled=culled),
+        grid=(n_blocks, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             *mask_spec,
-            pl.BlockSpec((16, block_r), lambda i: (0, i),
+            pl.BlockSpec((16, block_r), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
+            pl.BlockSpec((2 * block_n, 54),
+                         lambda i, j: (jnp.minimum(j, n_tiles_s - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, n_pad), lambda i: (0, 0),
+            *tri_spec,
+            pl.BlockSpec((48, p_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((16, block_r), lambda i: (0, i),
+            pl.BlockSpec((16, block_r), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_r), lambda i: (0, i),
+            pl.BlockSpec((1, block_r), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((16, r_tot), jnp.float32),
             jax.ShapeDtypeStruct((1, r_tot), jnp.int32),
         ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(_smem_bounce(bounce), *mask_in, state, stab, table48)
+    )(_smem_bounce(bounce), *mask_in, state, stab, *tri_in, table48)
     return out, idx[0]
 
 
-@functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
+@functools.partial(jax.jit, static_argnames=("n_pad", "use_sky", "block_r"))
 def bounce_replay(table48, state, idx, bounce, *, use_sky: bool,
-                  block_r: int = BLOCK_R):
-    """Search-free forward bounce from the saved winner idx [R] i32."""
-    n_pad, r_tot = _check_shapes(table48, state, block_r)
+                  block_r: int = BLOCK_R, n_pad: int | None = None):
+    """Search-free forward bounce from the saved winner idx [R] i32.
+    n_pad: sphere count of the global id split (defaults to all-spheres)."""
+    p_pad, r_tot = _check_shapes(table48, state, block_r)
+    if n_pad is None:
+        n_pad = p_pad
     return pl.pallas_call(
-        functools.partial(_replay_kernel, n_pad=n_pad, use_sky=use_sky),
+        functools.partial(_replay_kernel, n_pad=n_pad, p_pad=p_pad,
+                          use_sky=use_sky),
         grid=(r_tot // block_r,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -815,7 +1062,7 @@ def bounce_replay(table48, state, idx, bounce, *, use_sky: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((16, block_r), lambda i: (0, i),
@@ -827,14 +1074,17 @@ def bounce_replay(table48, state, idx, bounce, *, use_sky: bool,
     )(_smem_bounce(bounce), state, idx.reshape(1, r_tot), table48)
 
 
-@functools.partial(jax.jit, static_argnames=("use_sky", "block_r"))
+@functools.partial(jax.jit, static_argnames=("n_pad", "use_sky", "block_r"))
 def bounce_bwd(table48, state, idx, bounce, d_out, *, use_sky: bool,
-               block_r: int = BLOCK_R):
+               block_r: int = BLOCK_R, n_pad: int | None = None):
     """Reverse of one bounce: (state_in, saved idx, d_state_out)
-    -> (d_state_in [16,R], d_table [16,N])."""
-    n_pad, r_tot = _check_shapes(table48, state, block_r)
+    -> (d_state_in [16,R], d_table [16,P])."""
+    p_pad, r_tot = _check_shapes(table48, state, block_r)
+    if n_pad is None:
+        n_pad = p_pad
     d_state, d_table = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_pad=n_pad, use_sky=use_sky),
+        functools.partial(_bwd_kernel, n_pad=n_pad, p_pad=p_pad,
+                          use_sky=use_sky),
         grid=(r_tot // block_r,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -842,7 +1092,7 @@ def bounce_bwd(table48, state, idx, bounce, d_out, *, use_sky: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -852,12 +1102,12 @@ def bounce_bwd(table48, state, idx, bounce, d_out, *, use_sky: bool,
                          memory_space=pltpu.VMEM),
             # d_table is revisited by every grid step (accumulation), which
             # requires the sequential ("arbitrary") grid below
-            pl.BlockSpec((16, n_pad), lambda i: (0, 0),
+            pl.BlockSpec((16, p_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((16, r_tot), jnp.float32),
-            jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -883,47 +1133,67 @@ def _init_state(origins, directions, stream_base, block_r: int):
     return st, r, r_pad
 
 
+def _fused_tables(scene: Scene, block_n_cull: int = BLOCK_N,
+                  block_m_cull: int = TRI_BLOCK_M):
+    """All per-trace constant tables for the fused path. -> dict with
+    t48 [48,P], stab_full / stab_tiled, tri_full / tri_tiled (or None),
+    n_pad, m_pad (the kernels' m_pad = soup n_pad: both TRI_PAD=128 and
+    _TRI_TILE divide it)."""
+    t48 = table_chunks(prim_table(scene))
+    n_pad = scene.n_pad
+    out = dict(t48=t48, n_pad=n_pad, m_pad=0, tri_full=None, tri_tiled=None,
+               stab_full=search_table(scene, min(n_pad, _SPH_TILE_MAX)),
+               stab_tiled=search_table(scene, block_n_cull))
+    if scene.tris is not None:
+        from tpu_ray.kernels.tri_intersect import tri_search_tables
+        m_pad = scene.tris.n_pad
+        assert m_pad % _TRI_TILE == 0, (
+            "soup padding (TRI_PAD) must be a tri-tile multiple", m_pad)
+        tri = tri_search_tables(scene.tris, _TRI_TILE)
+        assert tri.shape[0] == 4 * m_pad, (tri.shape, m_pad)
+        assert t48.shape[1] == n_pad + m_pad
+        out.update(m_pad=m_pad, tri_full=tri, tri_tiled=tri)
+    return out
+
+
 def trace_rays_fused(scene: Scene, origins, directions, stream_base,
                      max_bounces: int, block_r: int = BLOCK_R,
                      exact_argmin: bool = False, cull: bool = True):
-    """Forward-only fused trace: drop-in for trace_rays (path shading).
+    """Forward-only fused trace: drop-in for trace_rays (path shading),
+    spheres AND triangle soups.
 
-    -> (color [R,3], rays_cast [R] u32). Requires a sphere-only scene with
-    n_pad <= 1024. rays_cast accumulates sum(alive) at the top of each
-    bounce, matching the reference counter (main.cpp:390). For the
-    differentiable path use `make_fused_sample`.
+    -> (color [R,3], rays_cast [R] u32). rays_cast accumulates sum(alive)
+    at the top of each bounce, matching the reference counter
+    (main.cpp:390). For the differentiable path use `make_fused_sample`.
 
     cull=True tile-culls the PRIMARY bounce only (bit-identical output; see
     cull_mask): camera-ray blocks are direction-coherent narrow frusta that
-    skip ~25% of sphere tiles, but diffuse-bounce blocks span all
-    directions, so their interval mask never fires (measured: 1.000 tiles
-    searched at bounces 1-4, rtweekend) — those bounces run the uncalled
-    single-matmul kernel instead of paying per-tile cond overhead.
+    skip reachability-masked primitive tiles (~25% of sphere tiles on
+    rtweekend; nearly all mesh tiles for off-mesh pixels on config 4), but
+    diffuse-bounce blocks span all directions, so their interval mask never
+    fires (measured: 1.000 tiles searched at bounces 1-4, rtweekend) —
+    those bounces run the uncalled wide-tile kernel instead of paying
+    per-tile cond overhead.
     """
-    assert scene.tris is None, "fused path is sphere-only; use backend='jnp'"
     if cull:
-        scene = permute_spheres(scene, morton_perm(scene))
-    t48 = table_chunks(scene_table(scene))
-    n_pad = scene.n_pad
-    stab_full = search_table(scene, n_pad)
+        scene = permute_scene(scene)
+    tb = _fused_tables(scene)
     st, r, r_pad = _init_state(origins, directions, stream_base, block_r)
     rays = jnp.zeros((r_pad,), jnp.uint32)
     b_start = 1 if (cull and max_bounces > 0) else 0
 
     if b_start:
-        stab_tiled = search_table(scene)
-        tb_lo, tb_hi = tile_bounds(scene)
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-        mask = cull_mask(*ray_block_bounds(st, block_r), tb_lo, tb_hi)
-        st, _ = bounce_fwd(t48, stab_tiled, st, jnp.int32(0), mask,
-                           use_sky=scene.use_sky, block_r=block_r,
-                           exact_argmin=exact_argmin)
+        mask = bounce_cull_mask(scene, st, block_r)
+        st, _ = bounce_fwd(tb["t48"], tb["stab_tiled"], st, jnp.int32(0),
+                           mask, tb["tri_tiled"], use_sky=scene.use_sky,
+                           block_r=block_r, exact_argmin=exact_argmin)
 
     def bounce(carry, b):
         st, rays = carry
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-        st, _ = bounce_fwd(t48, stab_full, st, b, None,
-                           use_sky=scene.use_sky,
+        st, _ = bounce_fwd(tb["t48"], tb["stab_full"], st, b, None,
+                           tb["tri_full"], use_sky=scene.use_sky,
                            block_r=block_r, exact_argmin=exact_argmin)
         return (st, rays), None
 
@@ -944,16 +1214,18 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
     in as -1 — the 'save_hits' residual budget). The backward re-derives
     rays from the camera, replays the per-bounce input states with the
     search-free kernel, then runs the reverse bounce sweep, accumulating
-    d_table on the MXU; scene cotangents flow through scene_table's concat
-    transpose, camera cotangents through raygen's VJP in XLA.
+    d_table on the MXU; scene cotangents (sphere params, triangle vertices
+    via the plane-form table, materials) flow through prim_table's vjp,
+    camera cotangents through raygen's VJP in XLA.
     """
     from tpu_ray.ops.raygen import camera_rays
 
     def _forward(scene, camera, pixel, s):
         o, d, base = camera_rays(camera, width, height, pixel, s, seed)
-        scene = permute_spheres(scene, morton_perm(scene))
-        t48 = table_chunks(scene_table(scene))
-        stab_full = search_table(scene, scene.n_pad)
+        scene = permute_scene(scene)
+        tb = _fused_tables(scene)
+        assert tb["n_pad"] + tb["m_pad"] < 2 ** 15, (
+            "saved hit records are i16", tb["n_pad"], tb["m_pad"])
         st, r, r_pad = _init_state(o, d, base, block_r)
         rays = jnp.zeros((r_pad,), jnp.uint32)
         b_start = 1 if max_bounces > 0 else 0
@@ -963,11 +1235,10 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
             # primary bounce: tile-culled (camera-ray blocks are coherent
             # frusta; later diffuse bounces never cull — see
             # trace_rays_fused docstring)
-            stab_tiled = search_table(scene)
-            tb_lo, tb_hi = tile_bounds(scene)
             rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-            mask = cull_mask(*ray_block_bounds(st, block_r), tb_lo, tb_hi)
-            st, i0 = bounce_fwd(t48, stab_tiled, st, jnp.int32(0), mask,
+            mask = bounce_cull_mask(scene, st, block_r)
+            st, i0 = bounce_fwd(tb["t48"], tb["stab_tiled"], st,
+                                jnp.int32(0), mask, tb["tri_tiled"],
                                 use_sky=scene.use_sky,
                                 block_r=block_r, exact_argmin=exact_argmin)
             idx0 = [i0.astype(jnp.int16)[None]]
@@ -975,8 +1246,8 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         def body(carry, b):
             st, rays = carry
             rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-            st, idx = bounce_fwd(t48, stab_full, st, b, None,
-                                 use_sky=scene.use_sky,
+            st, idx = bounce_fwd(tb["t48"], tb["stab_full"], st, b, None,
+                                 tb["tri_full"], use_sky=scene.use_sky,
                                  block_r=block_r, exact_argmin=exact_argmin)
             return (st, rays), idx.astype(jnp.int16)
 
@@ -1008,9 +1279,9 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         # same deterministic permutation as _forward: the saved idx stack
         # lives in Morton order, and d_table scatters back through the
         # permutation's vjp
-        perm = morton_perm(scene)
         table, table_vjp = jax.vjp(
-            lambda sc: scene_table(permute_spheres(sc, perm)), scene)
+            lambda sc: prim_table(permute_scene(sc)), scene)
+        n_pad = scene.n_pad
         t48 = table_chunks(table)
         st0, r, r_pad = _init_state(o, d, base, block_r)
         bounces = jnp.arange(max_bounces, dtype=jnp.int32)
@@ -1021,7 +1292,7 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         def rbody(st, binfo):
             b, idx = binfo
             st2 = bounce_replay(t48, st, idx, b, use_sky=scene.use_sky,
-                                block_r=block_r)
+                                block_r=block_r, n_pad=n_pad)
             return st2, st
 
         _, states = jax.lax.scan(rbody, st0, (bounces, idx_stack))
@@ -1033,7 +1304,8 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
             d_st, d_table = carry
             b, idx, st_in = binfo
             d_in, d_tab = bounce_bwd(t48, st_in, idx, b, d_st,
-                                     use_sky=scene.use_sky, block_r=block_r)
+                                     use_sky=scene.use_sky, block_r=block_r,
+                                     n_pad=n_pad)
             return (d_in, d_table + d_tab), None
 
         (d_st0, d_table), _ = jax.lax.scan(
