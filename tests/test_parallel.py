@@ -72,3 +72,20 @@ def test_trimesh_sharded_over_primitives(mesh_shape):
     assert int(rays) == int(rays0)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_trimesh_fused_matches_single():
+    # the fused custom-VJP path with a triangle soup under shard_map (1D ray
+    # mesh): the round-2 tri-fused kernel must stay bit-identical when the
+    # ray axis is split across devices
+    from tpu_ray.core.scene import make_trimesh_scene
+    scene = make_trimesh_scene(subdivisions=2)
+    cam = default_camera(scene)
+    kw = dict(width=32, height=16, spp=1, sample_start=0, seed=0,
+              backend="fused")
+    img0, rays0 = render_pass(scene, cam, **kw)
+    mesh = make_mesh((8,))
+    s = shard_scene(scene, mesh)
+    img, rays = render_pass_sharded(s, cam, mesh=mesh, **kw)
+    assert int(rays) == int(rays0)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img0))
