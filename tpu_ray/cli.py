@@ -32,6 +32,9 @@ def _add_common(ap: argparse.ArgumentParser):
     ap.add_argument("--ray-chunk", type=int, default=None)
     ap.add_argument("--shading", default="path",
                     choices=["path", "flat", "lambert_shadow"])
+    ap.add_argument("--exact-argmin", action="store_true",
+                    help="fused backend: bit-stable two-pass winner "
+                         "selection (certification mode; slightly slower)")
     ap.add_argument("--mesh", default=None,
                     help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
     ap.add_argument("--metrics", default=None, help="JSONL metrics file")
@@ -65,7 +68,8 @@ def cmd_render(args) -> int:
     cfg = RenderConfig(scene=args.scene, width=args.width, height=args.height,
                        spp=args.spp, max_bounces=args.max_bounces,
                        backend=args.backend, seed=args.seed,
-                       ray_chunk=args.ray_chunk, shading=args.shading)
+                       ray_chunk=args.ray_chunk, shading=args.shading,
+                       exact_argmin=args.exact_argmin)
     mesh = _parse_mesh(args.mesh)
     total_rays = 0
 
@@ -84,7 +88,7 @@ def cmd_render(args) -> int:
             cfg = dataclasses.replace(
                 saved_cfg, backend=cfg.backend, spp=cfg.spp,
                 max_bounces=cfg.max_bounces, ray_chunk=cfg.ray_chunk,
-                shading=cfg.shading)
+                shading=cfg.shading, exact_argmin=cfg.exact_argmin)
         tracer = PathTracer(cfg, scene=scene)
         tracer.camera = camera
     else:
@@ -230,7 +234,8 @@ def cmd_animate(args) -> int:
     cfg = RenderConfig(scene=args.scene, width=args.width, height=args.height,
                        spp=args.spp, max_bounces=args.max_bounces,
                        backend=args.backend, seed=args.seed,
-                       ray_chunk=args.ray_chunk, shading=args.shading)
+                       ray_chunk=args.ray_chunk, shading=args.shading,
+                       exact_argmin=args.exact_argmin)
     tracer = PathTracer(cfg)
     scene = tracer.scene
     os.makedirs(args.out_dir, exist_ok=True)

@@ -25,6 +25,8 @@ class RenderConfig:
     shading: str = "path"             # 'path' | 'flat' | 'lambert_shadow'
     ray_chunk: Optional[int] = None   # split the ray wavefront to bound memory
     exact_srgb: bool = False          # reference ships the sqrt approximation
+    exact_argmin: bool = False        # fused backend: bit-stable two-pass
+                                      # winner selection (certification mode)
 
     def __post_init__(self):
         assert self.backend in ("jnp", "pallas", "fused"), self.backend

@@ -81,13 +81,14 @@ def probe_sphere_sharded(scene_local: Scene, origins, directions,
 
 @partial(jax.jit, static_argnames=(
     "mesh", "width", "height", "spp", "max_bounces", "backend", "ray_chunk",
-    "seed", "shading", "lights"))
+    "seed", "shading", "lights", "exact_argmin"))
 def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
                         width: int, height: int, spp: int, sample_start,
                         seed: int = 0, max_bounces: int = 5,
                         backend: str = "jnp",
                         ray_chunk: Optional[int] = None,
-                        shading: str = "path", lights: tuple = ()):
+                        shading: str = "path", lights: tuple = (),
+                        exact_argmin: bool = False):
     """One progressive pass, sharded over the mesh.
 
     -> (image_sum [H,W,3] sharded over rows on "rays", rays_cast [] u32
@@ -132,7 +133,8 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
             spp=spp, sample_start=sample_start, seed=seed,
             max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk,
             shading=shading, lights=lights, light_data=light_data,
-            backend_is_fused=(backend == "fused"))
+            backend_is_fused=(backend == "fused"),
+            exact_argmin=exact_argmin)
         # rays-cast stat: identical on every sphere shard (the bounce loop is
         # redundantly computed there), so reduce over the ray axis only.
         rays = jax.lax.psum(rays, RAY_AXIS)
