@@ -46,17 +46,20 @@ def _small_trimesh_scene():
     return make_trimesh_scene(subdivisions=2)
 
 
-def test_fused_triangle_scene_parity():
+@pytest.mark.parametrize("exact", [False, True])
+def test_fused_triangle_scene_parity(exact):
     # round-2: the fused kernel's triangle tile phase (Möller-Trumbore
     # K-stack) + plane-form winner recompute vs the jnp mixed-primitive
-    # path. Near-tie winner flips across shared mesh edges make parity
+    # path, in both the packed and the exact two-scratch carry (the carry
+    # that takes over automatically beyond 2048 primitives). Near-tie
+    # winner flips across shared mesh edges make packed parity
     # statistical, like the sphere tests above.
     scene = _small_trimesh_scene()
     cam = default_camera(scene)
     px = jnp.arange(48 * 32, dtype=jnp.int32)
     o, d, base = camera_rays(cam, 48, 32, px, 0, 0)
     c0, r0 = trace_rays(scene, o, d, base, 5, probe_jnp)
-    c1, r1 = trace_rays_fused(scene, o, d, base, 5)
+    c1, r1 = trace_rays_fused(scene, o, d, base, 5, exact_argmin=exact)
     match = np.abs(np.asarray(c1) - np.asarray(c0)).max(axis=-1) < 1e-5
     assert match.mean() > 0.97, match.mean()
     assert abs(int(np.asarray(r0).sum()) - int(np.asarray(r1).sum())) \
