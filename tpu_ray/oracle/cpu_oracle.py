@@ -50,6 +50,18 @@ class CpuOracle:
         self.specular = np.asarray(scene.specular, f32)
         self.ior = np.asarray(scene.ior, f32)
         self.use_sky = scene.use_sky
+        self.tris = scene.tris
+        if scene.tris is not None:
+            t = scene.tris
+            self.tv0 = np.asarray(t.v0, f32)
+            self.te1 = np.asarray(t.e1, f32)
+            self.te2 = np.asarray(t.e2, f32)
+            self.t_albedo = np.asarray(t.albedo, f32)
+            self.t_emissive = np.asarray(t.emissive, f32)
+            self.t_specular = np.asarray(t.specular, f32)
+            self.t_ior = np.asarray(t.ior, f32)
+            # geometric normals (area-scaled), ops/intersect_tri.tri_payload
+            self.t_n = np.cross(self.te1, self.te2).astype(f32)
 
     # -- nearest hit: vectorized over spheres, reference main.cpp:547-579 --
     def _nearest(self, o: np.ndarray, d: np.ndarray):
@@ -67,6 +79,23 @@ class CpuOracle:
         i = int(np.argmin(tv))
         return tv[i], i, bool(inside[i])
 
+    # -- Möller-Trumbore over the soup (ops/intersect_tri semantics) --
+    def _nearest_tri(self, o: np.ndarray, d: np.ndarray):
+        pvec = np.cross(np.broadcast_to(d, self.te2.shape), self.te2)
+        det = np.einsum("ij,ij->i", self.te1, pvec)
+        ok = np.abs(det) > f32(1e-9)
+        inv = f32(1.0) / np.where(ok, det, f32(1.0))
+        tvec = (o - self.tv0).astype(f32)
+        u = np.einsum("ij,ij->i", tvec, pvec) * inv
+        qvec = np.cross(tvec, self.te1)
+        v = (qvec @ d) * inv
+        t = np.einsum("ij,ij->i", self.te2, qvec) * inv
+        valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > F32_EPS)
+        tvals = np.where(valid, t, F32_MAX).astype(f32)
+        i = int(np.argmin(tvals))
+        # backface hit counts as "inside" (reference main.cpp:456-458 rule)
+        return tvals[i], i, bool(d @ self.t_n[i] > 0.0)
+
     def _trace_pixel(self, o, d, base, max_bounces: int):
         atten = np.ones(3, f32)
         color = np.zeros(3, f32)
@@ -74,6 +103,11 @@ class CpuOracle:
         for b in range(max_bounces):
             rays += 1
             tmin, i, inside = self._nearest(o, d)
+            is_tri = False
+            if self.tris is not None:
+                t_t, j, ins_t = self._nearest_tri(o, d)
+                if t_t < tmin:                # sphere wins exact ties
+                    tmin, i, inside, is_tri = t_t, j, ins_t, True
             if tmin >= F32_MAX:  # miss (reference main.cpp:581-588)
                 if self.use_sky:
                     a = f32((d[1] + 1.0) * 0.5)
@@ -82,21 +116,26 @@ class CpuOracle:
                     color = color + sky * atten
                 break
 
-            c = self.center[i]
             point = d * tmin                      # hit point relative to o
             next_o = (o + point).astype(f32)
-            normal_raw = (point - (c - o)).astype(f32)
+            if is_tri:
+                normal_raw = self.t_n[i]
+                emissive, albedo = self.t_emissive[i], self.t_albedo[i]
+                spec, ior = self.t_specular[i], self.t_ior[i]
+            else:
+                c = self.center[i]
+                normal_raw = (point - (c - o)).astype(f32)
+                emissive, albedo = self.emissive[i], self.albedo[i]
+                spec, ior = self.specular[i], self.ior[i]
 
-            color = color + self.emissive[i] * atten
-            atten = (atten * self.albedo[i]).astype(f32)
+            color = color + emissive * atten
+            atten = (atten * albedo).astype(f32)
             o = next_o
-
-            spec = self.specular[i]
             normal = _normalize_eps(normal_raw)
             pure = (d - f32(2.0) * f32(d @ normal) * normal).astype(f32)
             n2 = -normal if inside else normal
 
-            if self.ior[i] == 0.0:
+            if ior == 0.0:
                 # diffuse/specular mix (reference main.cpp:605-609)
                 rv = np.array(
                     [rng.draw_uniform(base, b, s, -1.0, 1.0, np) for s in range(3)],
@@ -105,7 +144,7 @@ class CpuOracle:
                 d = _normalize_eps(((1.0 - spec) * rb + spec * pure).astype(f32))
             else:
                 # dielectric (reference main.cpp:610-626)
-                ri = self.ior[i] if inside else f32(1.0 / self.ior[i])
+                ri = ior if inside else f32(1.0 / ior)
                 cos_t = f32(min(f32(-d @ n2), f32(1.0)))
                 sin_t = f32(np.sqrt(max(f32(1.0 - cos_t * cos_t), f32(0.0))))
                 cant = ri * sin_t > 1.0
