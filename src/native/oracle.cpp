@@ -93,6 +93,17 @@ struct SceneView {
   const f32* ior;       // [N]
   int n;
   bool use_sky;
+  // optional triangle soup (SoA, pre-differenced: v0, e1=v1-v0, e2=v2-v0;
+  // padding triangles have e1=e2=0 => det=0 => never hit) — the scalar
+  // re-execution of ops/intersect_tri (Möller-Trumbore 1997)
+  const f32* tv0;        // [M,3] (nullptr when m == 0)
+  const f32* te1;        // [M,3]
+  const f32* te2;        // [M,3]
+  const f32* t_albedo;   // [M,3]
+  const f32* t_emissive; // [M,3]
+  const f32* t_specular; // [M]
+  const f32* t_ior;      // [M]
+  int m;
 };
 
 inline V3 Row3(const f32* a, int i) { return {a[3*i], a[3*i+1], a[3*i+2]}; }
@@ -126,6 +137,46 @@ inline bool Nearest(const SceneView& s, V3 o, V3 d,
 
 // one pixel sample: reference RenderTileScalar bounce loop
 // (main.cpp:539-626), identical op order to oracle/cpu_oracle.py
+inline V3 Cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+          a.x * b.y - a.y * b.x};
+}
+
+// nearest triangle: Möller-Trumbore, no backface culling, first-min ties
+// (same semantics as ops/intersect_tri.nearest_hit_tri_jnp)
+inline bool NearestTri(const SceneView& s, V3 o, V3 d,
+                       f32* t_out, int* i_out, bool* inside_out) {
+  constexpr f32 kDetEps = 1e-9f;
+  f32 best = kMax;
+  int best_i = 0;
+  bool best_inside = false;
+  for (int i = 0; i < s.m; ++i) {
+    V3 e1 = Row3(s.te1, i), e2 = Row3(s.te2, i);
+    V3 pvec = Cross(d, e2);
+    f32 det = Dot(e1, pvec);
+    f32 adet = det < 0.0f ? -det : det;
+    if (!(adet > kDetEps)) continue;
+    f32 inv = 1.0f / det;
+    V3 tvec = o - Row3(s.tv0, i);
+    f32 u = Dot(tvec, pvec) * inv;
+    if (u < 0.0f) continue;
+    V3 qvec = Cross(tvec, e1);
+    f32 v = Dot(d, qvec) * inv;
+    if (v < 0.0f || u + v > 1.0f) continue;
+    f32 t = Dot(e2, qvec) * inv;
+    if (!(t > kEps)) continue;
+    if (t < best) {
+      best = t; best_i = i;
+      // backface hit counts as "inside" (reference main.cpp:456-458 rule)
+      best_inside = Dot(d, Cross(e1, e2)) > 0.0f;
+    }
+  }
+  *t_out = best;
+  *i_out = best_i;
+  *inside_out = best_inside;
+  return best < kMax;
+}
+
 inline int TracePixel(const SceneView& s, V3 o, V3 d, u32 base,
                       int max_bounces, V3* color_out) {
   V3 atten = {1.0f, 1.0f, 1.0f};
@@ -134,7 +185,16 @@ inline int TracePixel(const SceneView& s, V3 o, V3 d, u32 base,
   for (int b = 0; b < max_bounces; ++b) {
     ++rays;
     f32 tmin; int i; bool inside;
-    if (!Nearest(s, o, d, &tmin, &i, &inside)) {
+    bool hit = Nearest(s, o, d, &tmin, &i, &inside);
+    bool is_tri = false;
+    if (s.m > 0) {
+      f32 tt; int j; bool ins_t;
+      if (NearestTri(s, o, d, &tt, &j, &ins_t) && tt < tmin) {
+        // strict <: the sphere wins exact ties (merge_payloads rule)
+        tmin = tt; i = j; inside = ins_t; is_tri = true; hit = true;
+      }
+    }
+    if (!hit) {
       if (s.use_sky) {  // sky gradient (reference main.cpp:581-588)
         f32 a = (d.y + 1.0f) * 0.5f;
         V3 sky = (1.0f - a) * V3{1.0f, 1.0f, 1.0f}
@@ -144,21 +204,34 @@ inline int TracePixel(const SceneView& s, V3 o, V3 d, u32 base,
       break;
     }
 
-    V3 c = Row3(s.center, i);
     V3 point = tmin * d;
     V3 next_o = o + point;
-    V3 normal_raw = point - (c - o);
+    V3 normal_raw, emissive, albedo;
+    f32 spec, ior;
+    if (is_tri) {
+      normal_raw = Cross(Row3(s.te1, i), Row3(s.te2, i));
+      emissive = Row3(s.t_emissive, i);
+      albedo = Row3(s.t_albedo, i);
+      spec = s.t_specular[i];
+      ior = s.t_ior[i];
+    } else {
+      V3 c = Row3(s.center, i);
+      normal_raw = point - (c - o);
+      emissive = Row3(s.emissive, i);
+      albedo = Row3(s.albedo, i);
+      spec = s.specular[i];
+      ior = s.ior[i];
+    }
 
-    color = color + Row3(s.emissive, i) * atten;
-    atten = atten * Row3(s.albedo, i);
+    color = color + emissive * atten;
+    atten = atten * albedo;
     o = next_o;
 
-    f32 spec = s.specular[i];
     V3 normal = NormalizeEps(normal_raw);
     V3 pure = d - 2.0f * Dot(d, normal) * normal;
     V3 n2 = inside ? -normal : normal;
 
-    if (s.ior[i] == 0.0f) {
+    if (ior == 0.0f) {
       // diffuse/specular mix (reference main.cpp:605-609)
       V3 rv = {DrawUniform(base, b, 0, -1.0f, 1.0f),
                DrawUniform(base, b, 1, -1.0f, 1.0f),
@@ -167,7 +240,7 @@ inline int TracePixel(const SceneView& s, V3 o, V3 d, u32 base,
       d = NormalizeEps((1.0f - spec) * rb + spec * pure);
     } else {
       // dielectric (reference main.cpp:610-626)
-      f32 ri = inside ? s.ior[i] : 1.0f / s.ior[i];
+      f32 ri = inside ? ior : 1.0f / ior;
       f32 cos_t = -Dot(d, n2); if (cos_t > 1.0f) cos_t = 1.0f;
       f32 s2 = 1.0f - cos_t * cos_t;
       f32 sin_t = sqrtf(s2 > 0.0f ? s2 : 0.0f);
@@ -248,13 +321,18 @@ u64 oracle_render_pass(
     const f32* center, const f32* radius, const f32* albedo,
     const f32* emissive, const f32* specular, const f32* ior,
     int n_spheres, int use_sky,
+    const f32* tv0, const f32* te1, const f32* te2,
+    const f32* t_albedo, const f32* t_emissive, const f32* t_specular,
+    const f32* t_ior, int n_tris,
     const f32* cam_pos, const f32* look_at,
     int width, int height, int spp, int sample_start,
     u32 seed, int max_bounces, int n_threads,
     f32* out_image) {
   Job job;
   job.scene = {center, radius, albedo, emissive, specular, ior,
-               n_spheres, use_sky != 0};
+               n_spheres, use_sky != 0,
+               tv0, te1, te2, t_albedo, t_emissive, t_specular, t_ior,
+               n_tris};
 
   // camera basis (reference main.cpp:811-822)
   V3 pos = {cam_pos[0], cam_pos[1], cam_pos[2]};

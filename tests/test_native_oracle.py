@@ -53,3 +53,28 @@ def test_native_multithreaded_deterministic():
     # disjoint tile writes + per-pixel sample order => thread-count invariant
     assert ra == rb
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_matches_numpy_on_trimesh():
+    # the C++ oracle's Möller-Trumbore path vs the NumPy oracle: same
+    # algorithm, independently written (branch-order early-outs vs
+    # vectorized masks), so agreement pins the triangle semantics from a
+    # third direction (jnp/fused/pallas share none of this code)
+    from tpu_ray.core.scene import make_trimesh_scene
+    from tpu_ray.oracle.cpu_oracle import CpuOracle
+    from tpu_ray.oracle.native import NativeOracle, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    scene = make_trimesh_scene(subdivisions=1)
+    from tpu_ray.core.camera import default_camera
+    import numpy as np
+    cam = default_camera(scene)
+    kw = dict(width=24, height=24, spp=1, seed=0)
+    a, ra = CpuOracle(scene).render_pass(
+        np.asarray(cam.position), np.asarray(cam.look_at), **kw)
+    b, rb = NativeOracle(scene, n_threads=2).render_pass(
+        np.asarray(cam.position), np.asarray(cam.look_at), **kw)
+    assert ra == rb
+    match = np.abs(a - b).max(axis=-1) < 1e-6
+    assert match.mean() > 0.995, match.mean()

@@ -48,6 +48,8 @@ def _load():
             lib.oracle_render_pass.argtypes = [
                 f32p, f32p, f32p, f32p, f32p, f32p,          # scene arrays
                 ctypes.c_int, ctypes.c_int,                  # n, use_sky
+                f32p, f32p, f32p, f32p, f32p, f32p, f32p,    # triangle soup
+                ctypes.c_int,                                # n_tris
                 f32p, f32p,                                  # cam_pos, look_at
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,    # W, H, spp
                 ctypes.c_int, ctypes.c_uint32, ctypes.c_int,  # start, seed, mb
@@ -78,6 +80,15 @@ class NativeOracle:
         }
         self.n = int(scene.n_pad)
         self.use_sky = bool(scene.use_sky)
+        self.m = 0
+        self._tri_arrays = None
+        if scene.tris is not None:
+            t = scene.tris
+            self._tri_arrays = [
+                np.ascontiguousarray(np.asarray(x, np.float32))
+                for x in (t.v0, t.e1, t.e2, t.albedo, t.emissive,
+                          t.specular, t.ior)]
+            self.m = int(t.n_pad)
         self.n_threads = n_threads
         self._lib = _load()
 
@@ -93,9 +104,15 @@ class NativeOracle:
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
         a = self._arrays
+        if self._tri_arrays is not None:
+            tp = [p(x) for x in self._tri_arrays]
+        else:
+            null = ctypes.POINTER(ctypes.c_float)()
+            tp = [null] * 7
         rays = self._lib.oracle_render_pass(
             p(a["center"]), p(a["radius"]), p(a["albedo"]), p(a["emissive"]),
             p(a["specular"]), p(a["ior"]), self.n, int(self.use_sky),
+            *tp, self.m,
             p(pos), p(tgt), width, height, spp, sample_start,
             seed & 0xFFFFFFFF, max_bounces, self.n_threads, p(out))
         return out, int(rays)
