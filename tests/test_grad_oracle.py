@@ -168,3 +168,51 @@ def test_camera_ad_matches_native_fd(setup):
         _, gc = _ad_grad(scene, cam, target, mask, "jnp")
         ad = float(np.asarray(gc.position)[axis])
         assert abs(fd_o - ad) < 3e-3 + 0.6 * abs(fd_o), (axis, fd_o, ad)
+
+
+@pytest.mark.parametrize("backend", ["jnp", "fused"])
+def test_triangle_params_ad_matches_native_fd(backend):
+    """Round-2 extension of the independent gradient oracle to triangle
+    soups: per-face albedo (moves no boundaries: raw FD == AD) and a
+    vertex coordinate (boundary-moving: oracle-FD == jnp-FD tightly on
+    the smooth mask, AD within the loose interior band — same two-part
+    contract as test_geometry_ad_matches_native_fd)."""
+    from tpu_ray.core.scene import make_trimesh_scene
+    scene = make_trimesh_scene(subdivisions=2)
+    cam = default_camera(scene)
+    target = np.zeros((H, W, 3), np.float32)
+    full = np.ones((H, W), bool)
+
+    # (1) per-face albedo of a mesh face: raw FD vs AD
+    gs, _ = _ad_grad(scene, cam, target, full, backend)
+    eps = 2e-3
+    base = np.asarray(scene.tris.albedo)
+    face = 7
+    basis = np.zeros_like(base)
+    basis[face, 1] = 1.0
+    tp = dataclasses.replace(scene.tris, albedo=jnp.asarray(base + eps * basis))
+    tm = dataclasses.replace(scene.tris, albedo=jnp.asarray(base - eps * basis))
+    ip = _oracle_image(dataclasses.replace(scene, tris=tp),
+                       cam.position, cam.look_at)
+    im = _oracle_image(dataclasses.replace(scene, tris=tm),
+                       cam.position, cam.look_at)
+    fd = (_masked_mse(ip, target, full) - _masked_mse(im, target, full)) \
+        / (2 * eps)
+    ad = float(np.asarray(gs.tris.albedo)[face, 1])
+    assert abs(fd - ad) < 1e-4 + 0.05 * abs(fd), (backend, fd, ad)
+
+    # (2) a vertex coordinate (v0.y of the same face)
+    eps = 1e-3
+    base = np.asarray(scene.tris.v0)
+    basis = np.zeros_like(base)
+    basis[face, 1] = 1.0
+    tp = dataclasses.replace(scene.tris, v0=jnp.asarray(base + eps * basis))
+    tm = dataclasses.replace(scene.tris, v0=jnp.asarray(base - eps * basis))
+    sp = dataclasses.replace(scene, tris=tp)
+    sm = dataclasses.replace(scene, tris=tm)
+    fd_o, fd_j, mask = _fd_and_mask(sp, sm, cam.position, cam.position,
+                                    cam, target, eps)
+    assert abs(fd_o - fd_j) < 1e-4 + 0.03 * abs(fd_o), (fd_o, fd_j)
+    gs, _ = _ad_grad(scene, cam, target, mask, backend)
+    ad = float(np.asarray(gs.tris.v0)[face, 1])
+    assert abs(fd_o - ad) < 3e-3 + 0.6 * abs(fd_o), (backend, fd_o, ad)
