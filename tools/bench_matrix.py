@@ -95,6 +95,25 @@ def main():
         row(f"config4 trimesh {scene.tris.n_real}tris 1920x1080 2spp",
             int(rays), dt, backend=backend)
 
+    # config 4 gradient step (fused tri custom-VJP — round 2): vertex +
+    # material + camera gradients through the 10k-tri scene at 1080p
+    kw = dict(width=1920, height=1080, spp=2, seed=0, backend="fused",
+              ray_chunk=86400)
+    _, rays = render_pass(scene, cam, sample_start=0, width=1920,
+                          height=1080, spp=2, backend="fused",
+                          ray_chunk=86400)
+    target = jnp.zeros((1080, 1920, 3), jnp.float32)
+
+    @jax.jit
+    def g4step(scene, cam):
+        def loss(s, c):
+            return image_mse(render_mean(s, c, **kw), target)
+        return jax.grad(loss, argnums=(0, 1))(scene, cam)
+
+    dt = timeit(g4step, scene, cam, iters=2)
+    row(f"config4 trimesh {scene.tris.n_real}tris fwd+bwd 1920x1080 2spp",
+        int(rays), dt, backend="fused")
+
 
 if __name__ == "__main__":
     main()
