@@ -35,6 +35,10 @@ def _add_common(ap: argparse.ArgumentParser):
     ap.add_argument("--exact-argmin", action="store_true",
                     help="fused backend: bit-stable two-pass winner "
                          "selection (certification mode; slightly slower)")
+    ap.add_argument("--cull-secondary", action="store_true",
+                    help="fused backend: octant-split tile culling on "
+                         "secondary bounces (bit-identical; speedup is "
+                         "scene-dependent)")
     ap.add_argument("--mesh", default=None,
                     help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
     ap.add_argument("--metrics", default=None, help="JSONL metrics file")
@@ -69,7 +73,8 @@ def cmd_render(args) -> int:
                        spp=args.spp, max_bounces=args.max_bounces,
                        backend=args.backend, seed=args.seed,
                        ray_chunk=args.ray_chunk, shading=args.shading,
-                       exact_argmin=args.exact_argmin)
+                       exact_argmin=args.exact_argmin,
+                       cull_secondary=args.cull_secondary)
     mesh = _parse_mesh(args.mesh)
     total_rays = 0
 
@@ -88,7 +93,8 @@ def cmd_render(args) -> int:
             cfg = dataclasses.replace(
                 saved_cfg, backend=cfg.backend, spp=cfg.spp,
                 max_bounces=cfg.max_bounces, ray_chunk=cfg.ray_chunk,
-                shading=cfg.shading, exact_argmin=cfg.exact_argmin)
+                shading=cfg.shading, exact_argmin=cfg.exact_argmin,
+                cull_secondary=cfg.cull_secondary)
         tracer = PathTracer(cfg, scene=scene)
         tracer.camera = camera
     else:
@@ -235,7 +241,8 @@ def cmd_animate(args) -> int:
                        spp=args.spp, max_bounces=args.max_bounces,
                        backend=args.backend, seed=args.seed,
                        ray_chunk=args.ray_chunk, shading=args.shading,
-                       exact_argmin=args.exact_argmin)
+                       exact_argmin=args.exact_argmin,
+                       cull_secondary=args.cull_secondary)
     tracer = PathTracer(cfg)
     scene = tracer.scene
     os.makedirs(args.out_dir, exist_ok=True)

@@ -27,6 +27,9 @@ class RenderConfig:
     exact_srgb: bool = False          # reference ships the sqrt approximation
     exact_argmin: bool = False        # fused backend: bit-stable two-pass
                                       # winner selection (certification mode)
+    cull_secondary: bool = False      # fused backend: octant-split tile
+                                      # culling on bounces 1.. (bit-identical;
+                                      # win is scene-dependent, measure it)
 
     def __post_init__(self):
         assert self.backend in ("jnp", "pallas", "fused"), self.backend

@@ -26,7 +26,7 @@ from tpu_ray.parallel.render import probe_sphere_sharded
 def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start=0, seed: int = 0, max_bounces: int = 5,
                 backend: str = "jnp", ray_chunk: Optional[int] = None,
-                remat: bool = False):
+                remat: bool = False, cull_secondary: bool = False):
     """Differentiable spp-mean radiance image [H,W,3].
 
     backend='fused' runs both sweeps on the fused Pallas bounce kernels
@@ -45,7 +45,7 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
         scene, camera, pixel, width=width, height=height, spp=spp,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
-        remat=remat, backend_is_fused=fused)
+        remat=remat, backend_is_fused=fused, cull_secondary=cull_secondary)
     if fused:
         color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3) / jnp.float32(spp)

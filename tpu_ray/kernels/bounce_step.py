@@ -920,16 +920,74 @@ def cull_mask(olo, ohi, dlo, dhi, tlo, thi):
     return (t_lo <= t_hi).astype(jnp.int32)        # [B,T]
 
 
-def bounce_cull_mask(scene: Scene, state, block_r: int,
-                     block_n: int = BLOCK_N, block_m: int = TRI_BLOCK_M):
-    """Per-bounce cull mask [R/block_r, T] for bounce_fwd: sphere tiles
-    first, then triangle tiles (when the scene has a soup)."""
+def _scene_tile_boxes(scene: Scene, block_n: int, block_m: int):
     tlo, thi = tile_bounds(scene, block_n)
     if scene.tris is not None:
         tl2, th2 = tri_tile_bounds(scene.tris, block_m)
         tlo = jnp.concatenate([tlo, tl2], axis=0)
         thi = jnp.concatenate([thi, th2], axis=0)
+    return tlo, thi
+
+
+def bounce_cull_mask(scene: Scene, state, block_r: int,
+                     block_n: int = BLOCK_N, block_m: int = TRI_BLOCK_M):
+    """Per-bounce cull mask [R/block_r, T] for bounce_fwd: sphere tiles
+    first, then triangle tiles (when the scene has a soup)."""
+    tlo, thi = _scene_tile_boxes(scene, block_n, block_m)
     return cull_mask(*ray_block_bounds(state, block_r), tlo, thi)
+
+
+def octant_occupancy(state, block_r: int):
+    """[B, 8] bool: does ray block b hold an ALIVE ray whose direction lies
+    in sign-octant k? Octant id = (dx>=0) + 2*(dy>=0) + 4*(dz>=0)."""
+    b = state.shape[1] // block_r
+    sv = state.reshape(16, b, block_r)
+    alive = sv[12] > 0.5                          # [B,br]
+    oct_id = ((sv[3] >= 0.0).astype(jnp.int32)
+              + 2 * (sv[4] >= 0.0).astype(jnp.int32)
+              + 4 * (sv[5] >= 0.0).astype(jnp.int32))
+    return jnp.stack(
+        [jnp.any(alive & (oct_id == k), axis=1) for k in range(8)], axis=1)
+
+
+def bounce_cull_mask_octant(scene: Scene, state, block_r: int,
+                            block_n: int = BLOCK_N,
+                            block_m: int = TRI_BLOCK_M):
+    """Octant-split cull mask [R/block_r, T] — the SECONDARY-bounce mask.
+
+    The plain per-block direction interval is useless after the first
+    diffuse bounce: a block's scattered directions span ~[-1,1]^3, the
+    interval relaxation admits every t, and cull_mask degenerates to 1
+    (measured round 2: 1.000 tiles searched at bounces 1-4 on rtweekend).
+    Splitting the block's alive rays by direction-sign OCTANT fixes the
+    degeneracy structurally: within octant k every direction component has
+    a fixed sign, so the per-axis feasible-t constraints become one-sided
+    and tiles strictly behind the block on any occupied axis are culled.
+
+    mask[b, t] = OR over octants k OCCUPIED by an alive ray of block b of
+    cull_mask(o-bounds_b, d-bounds_b INTERSECT octant-box_k, tile t).
+    Every alive ray lies in exactly one octant and inside both its block's
+    d-interval and that octant's box, so each octant test is conservative
+    for its rays and the OR is conservative for the block — culled
+    rendering stays BIT-IDENTICAL (cull_mask's invariant). Cost: one
+    8-way masked any() per block plus 8 tiny [B,3]x[T,3] interval tests;
+    no extra per-ray reductions beyond ray_block_bounds."""
+    tlo, thi = _scene_tile_boxes(scene, block_n, block_m)
+    olo, ohi, dlo, dhi = ray_block_bounds(state, block_r)
+    occ = octant_occupancy(state, block_r)         # [B,8]
+    mask = jnp.zeros((olo.shape[0], tlo.shape[0]), jnp.int32)
+    for k in range(8):
+        box_lo = jnp.float32([0.0 if k & 1 else -1.0,
+                              0.0 if k & 2 else -1.0,
+                              0.0 if k & 4 else -1.0])
+        box_hi = jnp.float32([1.0 if k & 1 else 0.0,
+                              1.0 if k & 2 else 0.0,
+                              1.0 if k & 4 else 0.0])
+        dlo_k = jnp.maximum(dlo, box_lo)
+        dhi_k = jnp.minimum(dhi, box_hi)
+        mk = cull_mask(olo, ohi, dlo_k, dhi_k, tlo, thi)
+        mask = jnp.maximum(mask, mk * occ[:, k:k + 1].astype(jnp.int32))
+    return mask
 
 
 def _interpret():
@@ -1158,7 +1216,8 @@ def _fused_tables(scene: Scene, block_n_cull: int = BLOCK_N,
 
 def trace_rays_fused(scene: Scene, origins, directions, stream_base,
                      max_bounces: int, block_r: int = BLOCK_R,
-                     exact_argmin: bool = False, cull: bool = True):
+                     exact_argmin: bool = False, cull: bool = True,
+                     cull_secondary: bool = False):
     """Forward-only fused trace: drop-in for trace_rays (path shading),
     spheres AND triangle soups.
 
@@ -1166,14 +1225,17 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     at the top of each bounce, matching the reference counter
     (main.cpp:390). For the differentiable path use `make_fused_sample`.
 
-    cull=True tile-culls the PRIMARY bounce only (bit-identical output; see
+    cull=True tile-culls the PRIMARY bounce (bit-identical output; see
     cull_mask): camera-ray blocks are direction-coherent narrow frusta that
     skip reachability-masked primitive tiles (~25% of sphere tiles on
     rtweekend; nearly all mesh tiles for off-mesh pixels on config 4), but
-    diffuse-bounce blocks span all directions, so their interval mask never
-    fires (measured: 1.000 tiles searched at bounces 1-4, rtweekend) —
-    those bounces run the uncalled wide-tile kernel instead of paying
-    per-tile cond overhead.
+    diffuse-bounce blocks span all directions, so their plain interval mask
+    never fires (measured: 1.000 tiles searched at bounces 1-4, rtweekend)
+    — by default those bounces run the uncalled wide-tile kernel instead
+    of paying per-tile cond overhead. cull_secondary=True applies the
+    octant-split mask (bounce_cull_mask_octant) to bounces 1.. as well —
+    still bit-identical; whether the skipped tiles beat the per-tile cond
+    overhead is scene-dependent (a TPU measurement knob).
     """
     if cull:
         scene = permute_scene(scene)
@@ -1192,9 +1254,15 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     def bounce(carry, b):
         st, rays = carry
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-        st, _ = bounce_fwd(tb["t48"], tb["stab_full"], st, b, None,
-                           tb["tri_full"], use_sky=scene.use_sky,
-                           block_r=block_r, exact_argmin=exact_argmin)
+        if cull and cull_secondary:
+            mask = bounce_cull_mask_octant(scene, st, block_r)
+            st, _ = bounce_fwd(tb["t48"], tb["stab_tiled"], st, b, mask,
+                               tb["tri_tiled"], use_sky=scene.use_sky,
+                               block_r=block_r, exact_argmin=exact_argmin)
+        else:
+            st, _ = bounce_fwd(tb["t48"], tb["stab_full"], st, b, None,
+                               tb["tri_full"], use_sky=scene.use_sky,
+                               block_r=block_r, exact_argmin=exact_argmin)
         return (st, rays), None
 
     (st, rays), _ = jax.lax.scan(
@@ -1205,7 +1273,8 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
 
 @functools.lru_cache(maxsize=None)
 def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
-                      block_r: int = BLOCK_R, exact_argmin: bool = False):
+                      block_r: int = BLOCK_R, exact_argmin: bool = False,
+                      cull_secondary: bool = False):
     """Differentiable fused sample: (scene, camera, pixel, s)
     -> (color_sum [R,3], rays_cast [R] u32), with a custom VJP.
 
@@ -1246,9 +1315,17 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         def body(carry, b):
             st, rays = carry
             rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-            st, idx = bounce_fwd(tb["t48"], tb["stab_full"], st, b, None,
-                                 tb["tri_full"], use_sky=scene.use_sky,
-                                 block_r=block_r, exact_argmin=exact_argmin)
+            if cull_secondary:
+                mask = bounce_cull_mask_octant(scene, st, block_r)
+                st, idx = bounce_fwd(
+                    tb["t48"], tb["stab_tiled"], st, b, mask,
+                    tb["tri_tiled"], use_sky=scene.use_sky,
+                    block_r=block_r, exact_argmin=exact_argmin)
+            else:
+                st, idx = bounce_fwd(
+                    tb["t48"], tb["stab_full"], st, b, None,
+                    tb["tri_full"], use_sky=scene.use_sky,
+                    block_r=block_r, exact_argmin=exact_argmin)
             return (st, rays), idx.astype(jnp.int16)
 
         (st, rays), idx_rest = jax.lax.scan(

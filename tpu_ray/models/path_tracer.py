@@ -225,7 +225,7 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
                   ray_chunk: Optional[int] = None, remat: bool = False,
                   shading: str = "path", lights: tuple = (),
                   light_data=None, backend_is_fused: bool = False,
-                  exact_argmin: bool = False):
+                  exact_argmin: bool = False, cull_secondary: bool = False):
     """`spp` jittered samples for an arbitrary flat pixel subset.
 
     pixel [R] i32 flat indices (row-major). -> (color_sum [R,3] linear
@@ -265,7 +265,8 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         # the fused search per sample in the backward.
         from tpu_ray.kernels.bounce_step import make_fused_sample
         fused_sample = make_fused_sample(width, height, seed, max_bounces,
-                                         exact_argmin=exact_argmin)
+                                         exact_argmin=exact_argmin,
+                                         cull_secondary=cull_secondary)
 
         def sample_body(carry, s):
             color_sum, rays = carry
@@ -317,12 +318,12 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "spp", "max_bounces", "backend", "ray_chunk", "seed",
-    "shading", "lights", "exact_argmin"))
+    "shading", "lights", "exact_argmin", "cull_secondary"))
 def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start, seed: int = 0, max_bounces: int = 5,
                 backend: str = "jnp", ray_chunk: Optional[int] = None,
                 shading: str = "path", lights: tuple = (),
-                exact_argmin: bool = False):
+                exact_argmin: bool = False, cull_secondary: bool = False):
     """One progressive pass: `spp` jittered samples for every pixel.
 
     -> (image_sum [H,W,3] linear radiance summed over spp, rays_cast [] u32).
@@ -346,7 +347,7 @@ def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
         shading=shading, lights=lights, backend_is_fused=fused,
-        exact_argmin=exact_argmin)
+        exact_argmin=exact_argmin, cull_secondary=cull_secondary)
     if fused:
         color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3), rays
@@ -382,7 +383,7 @@ class PathTracer:
             seed=cfg.seed, max_bounces=cfg.max_bounces,
             backend=cfg.backend, ray_chunk=cfg.ray_chunk,
             shading=cfg.shading, lights=self.lights,
-            exact_argmin=cfg.exact_argmin,
+            exact_argmin=cfg.exact_argmin, cull_secondary=cfg.cull_secondary,
         )
         return accumulate(state, img_sum, cfg.spp), rays
 
