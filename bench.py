@@ -136,6 +136,9 @@ def main():
                     help="rays per chunk (0 = auto)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--chip", default="v5e")
+    ap.add_argument("--cull-secondary", action="store_true",
+                    help="fused backend: octant-split tile culling on "
+                         "secondary bounces (bit-identical A/B knob)")
     args = ap.parse_args()
 
     from tpu_ray import make_scene, default_camera
@@ -155,9 +158,10 @@ def main():
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               seed=0, max_bounces=args.max_bounces, backend=args.backend,
               ray_chunk=ray_chunk)
-
     if args.mode == "scaling":
         return bench_scaling(args, scene, camera, kw)
+    if args.cull_secondary:
+        kw["cull_secondary"] = True
 
     # total rays cast (the reference's counter) from one forward pass
     _, rays = render_pass(scene, camera, sample_start=0, **kw)
