@@ -192,8 +192,8 @@ def test_cull_secondary_mask_tighter_and_covering():
     # at all — and admits every tile; neither occupied octant reaches the
     # first two tiles (each cone is sign-blocked on x or z), so the
     # octant mask culls exactly those and keeps the third.
-    from tpu_ray.core.scene import _SceneBuilder
-    b = _SceneBuilder()
+    from tpu_ray.core.scene import SceneBuilder
+    b = SceneBuilder()
     rng = np.random.RandomState(0)
     for quad in ((+1, -1), (-1, +1), (+1, +1)):
         for _ in range(128):

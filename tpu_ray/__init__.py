@@ -10,6 +10,7 @@ geometry, materials and camera pose.
 from tpu_ray.config import RenderConfig
 from tpu_ray.core.scene import (
     Scene,
+    SceneBuilder,
     make_rgb_scene,
     make_randomized_scene,
     make_rtweekend_scene,
@@ -17,6 +18,7 @@ from tpu_ray.core.scene import (
     SCENE_BUILDERS,
 )
 from tpu_ray.core.camera import Camera, orbit_camera, default_camera
+from tpu_ray.core.trimesh import Triangles, pack_triangles
 from tpu_ray.models.path_tracer import PathTracer
 
 __version__ = "0.1.0"
@@ -24,8 +26,11 @@ __version__ = "0.1.0"
 __all__ = [
     "RenderConfig",
     "Scene",
+    "SceneBuilder",
     "Camera",
     "PathTracer",
+    "Triangles",
+    "pack_triangles",
     "make_rgb_scene",
     "make_randomized_scene",
     "make_rtweekend_scene",

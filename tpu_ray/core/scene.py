@@ -64,8 +64,16 @@ class Scene:
         return self.center.shape[0]
 
 
-class _SceneBuilder:
-    """Accumulates spheres host-side, then pads + packs into a Scene."""
+class SceneBuilder:
+    """Accumulates spheres host-side, then pads + packs into a Scene.
+
+    The public construction path for user scenes (the reference's
+    CreateScalarSphere + ConvertScalarSpheresToSIMDSpheres pipeline,
+    main.cpp:57-91, as one object): `add` spheres in world units
+    (world_scale applies the reference's 1/16 WorldScale, main.cpp:56),
+    then `build` pads to the TPU lane multiple with radius-0 sentinel
+    spheres and packs the SoA pytree. See examples/02_custom_scene.py.
+    """
 
     def __init__(self):
         self.centers, self.radii = [], []
@@ -125,7 +133,7 @@ def make_rgb_scene(pad_to: int = SPHERE_PAD) -> Scene:
 
     Reference InitRGBSphereScene (main.cpp:171-191).
     """
-    b = _SceneBuilder()
+    b = SceneBuilder()
     b.add((0.0, -256.0 - 2.0, -15.0), 256.0, (0.2, 0.2, 0.2))
     b.add((0.0, 0.0, -10.0), 2.0, (1.0, 1.0, 1.0), ior=1.5)
     b.add((-4.0, 1.0, -15.0), 1.5, (1.0, 0.0, 0.0), emissive=(8.0, 0.0, 0.0))
@@ -203,7 +211,7 @@ def make_randomized_scene(pad_to: int = SPHERE_PAD) -> Scene:
     centers *= WORLD_SCALE
     radii *= WORLD_SCALE
 
-    b = _SceneBuilder()
+    b = SceneBuilder()
     for i in range(n_spheres):
         color, emissive, specular = materials[mat_of[i]]
         b.add(centers[i], radii[i], color, specular=specular, ior=0.0,
@@ -224,7 +232,7 @@ def make_rtweekend_scene(pad_to: int = SPHERE_PAD) -> Scene:
     Reference InitRTWeekendSphereScene (main.cpp:196-268), seed main.cpp:219.
     """
     rng = RefPcg32(0xCD46749A57ACB371)
-    b = _SceneBuilder()
+    b = SceneBuilder()
     b.add((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
     b.add((0.0, 1.0, 0.0), 1.0, (1.0, 1.0, 1.0), ior=1.5)
     b.add((-4.0, 1.0, 0.0), 1.0, (0.4, 0.2, 0.1))
@@ -285,7 +293,7 @@ def make_single_scene(pad_to: int = SPHERE_PAD) -> Scene:
     Not a reference scene; geometry follows the reference's ground-sphere
     idiom (main.cpp:174, a 256-radius sphere as the floor).
     """
-    b = _SceneBuilder()
+    b = SceneBuilder()
     b.add((0.0, -256.0, -10.0), 256.0, (0.5, 0.5, 0.5))
     b.add((0.0, 1.5, -10.0), 1.5, (0.8, 0.3, 0.3))
     return b.build(
@@ -304,7 +312,7 @@ def make_sixteen_scene(pad_to: int = SPHERE_PAD) -> Scene:
     BASELINE.json config 2: the Lambertian + shadow-ray benchmark scene.
     Deterministic layout (no RNG) so goldens are stable.
     """
-    b = _SceneBuilder()
+    b = SceneBuilder()
     b.add((0.0, -256.0, 0.0), 256.0, (0.45, 0.45, 0.45))
     b.add((0.0, 6.0, 0.0), 1.0, (1.0, 1.0, 1.0), emissive=(12.0, 11.0, 10.0))
     b.add((5.0, 4.0, 5.0), 0.75, (1.0, 1.0, 1.0), emissive=(2.0, 4.0, 8.0))
@@ -335,7 +343,7 @@ def make_sixtyfour_scene(pad_to: int = SPHERE_PAD) -> Scene:
     emissive closed scene the pixel integrand is piecewise constant in
     pose and gradients vanish a.e.).
     """
-    b = _SceneBuilder()
+    b = SceneBuilder()
     b.add((0.0, -256.0, 0.0), 256.0, (0.5, 0.5, 0.5))
     b.add((0.0, 7.0, 0.0), 1.2, (1.0, 1.0, 1.0), emissive=(10.0, 10.0, 9.0))
     b.add((6.0, 5.0, 6.0), 0.8, (1.0, 1.0, 1.0), emissive=(8.0, 3.0, 1.0))
@@ -381,7 +389,7 @@ def make_trimesh_scene(pad_to: int = SPHERE_PAD,
     ])
     tris = pack_triangles(verts, faces, colors)
 
-    b = _SceneBuilder()
+    b = SceneBuilder()
     b.add((0.0, 1.0, 2.5), 1.0, (1.0, 1.0, 1.0), ior=1.5)
     scene = b.build(
         look_at=np.array([0.0, 1.2 * s, 0.0], np.float32),
