@@ -139,6 +139,9 @@ def main():
     ap.add_argument("--cull-secondary", action="store_true",
                     help="fused backend: octant-split tile culling on "
                          "secondary bounces (bit-identical A/B knob)")
+    ap.add_argument("--regen", action="store_true",
+                    help="fused backend, --mode fwd only: persistent-"
+                         "wavefront sample regeneration (kernels/regen.py)")
     args = ap.parse_args()
 
     from tpu_ray import make_scene, default_camera
@@ -162,6 +165,10 @@ def main():
         return bench_scaling(args, scene, camera, kw)
     if args.cull_secondary:
         kw["cull_secondary"] = True
+    if args.regen:
+        assert args.mode == "fwd" and args.backend == "fused", (
+            "--regen is the forward-only fused persistent wavefront")
+        kw["regen"] = True
 
     # total rays cast (the reference's counter) from one forward pass
     _, rays = render_pass(scene, camera, sample_start=0, **kw)
@@ -200,7 +207,7 @@ def main():
         "total_rays_per_step": total_rays,
         "step_seconds": round(dt, 4),
         "ns_per_ray": round(dt / total_rays * 1e9, 3),
-        "backend": args.backend,
+        "backend": args.backend + ("+regen" if args.regen else ""),
         "ray_chunk": ray_chunk,
         "speed_of_light_rays_per_s": round(sol, 1),
     }))

@@ -39,6 +39,10 @@ def _add_common(ap: argparse.ArgumentParser):
                     help="fused backend: octant-split tile culling on "
                          "secondary bounces (bit-identical; speedup is "
                          "scene-dependent)")
+    ap.add_argument("--regen", action="store_true",
+                    help="fused backend (render only): persistent-wavefront "
+                         "sample regeneration — all spp samples in one "
+                         "kernel loop, ~100%% lane occupancy")
     ap.add_argument("--mesh", default=None,
                     help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
     ap.add_argument("--metrics", default=None, help="JSONL metrics file")
@@ -74,7 +78,8 @@ def cmd_render(args) -> int:
                        backend=args.backend, seed=args.seed,
                        ray_chunk=args.ray_chunk, shading=args.shading,
                        exact_argmin=args.exact_argmin,
-                       cull_secondary=args.cull_secondary)
+                       cull_secondary=args.cull_secondary,
+                       regen=args.regen and args.backend == "fused")
     mesh = _parse_mesh(args.mesh)
     total_rays = 0
 
@@ -94,7 +99,8 @@ def cmd_render(args) -> int:
                 saved_cfg, backend=cfg.backend, spp=cfg.spp,
                 max_bounces=cfg.max_bounces, ray_chunk=cfg.ray_chunk,
                 shading=cfg.shading, exact_argmin=cfg.exact_argmin,
-                cull_secondary=cfg.cull_secondary)
+                cull_secondary=cfg.cull_secondary,
+                regen=args.regen and cfg.backend == "fused")
         tracer = PathTracer(cfg, scene=scene)
         tracer.camera = camera
     else:

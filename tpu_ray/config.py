@@ -27,6 +27,9 @@ class RenderConfig:
     exact_srgb: bool = False          # reference ships the sqrt approximation
     exact_argmin: bool = False        # fused backend: bit-stable two-pass
                                       # winner selection (certification mode)
+    regen: bool = False               # fused backend, forward-only: the
+                                      # persistent-wavefront sample-regen
+                                      # kernel (kernels/regen.py)
     cull_secondary: bool = False      # fused backend: octant-split tile
                                       # culling on bounces 1.. (bit-identical;
                                       # win is scene-dependent, measure it)

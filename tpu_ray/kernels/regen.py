@@ -1,0 +1,416 @@
+"""Persistent-wavefront forward kernel with in-lane sample regeneration.
+
+The occupancy problem it solves: in the per-sample bounce sweep
+(kernels/bounce_step.trace_rays_fused), only 7-24% of rays are alive at
+bounces 2-4 (rtweekend, measured) yet ~70% of ray blocks still hold >=1
+alive ray, so the whole-block dead skip recovers little — deaths scatter
+finely, and every compaction scheme (chunk partition, per-ray one-hot
+permutes, octant masks) measures as a wash on TPU because moving rays costs
+what the dead lanes waste (BASELINE.md "occupancy front").
+
+This kernel removes the waste WITHOUT moving a single ray: each lane owns
+ONE pixel for the whole render and cycles through that pixel's spp samples
+in place. When its ray dies (miss, or the bounce budget is spent) the lane
+immediately regenerates the next sample's camera ray IN-KERNEL — the
+counter-based RNG (core/rng.py) makes primary-ray generation a pure
+function of (pixel, sample, camera), so regeneration is ~40 VPU ops and
+zero data movement. Occupancy stays ~100% until a lane exhausts all spp
+samples; whole blocks then go idle and the existing dead-block skip ends
+them. Per-block work drops from
+    spp * (bounces where ANY lane is alive)          (~ spp * 3.4, measured)
+to  max over lanes of (total bounces over spp samples)  (~ spp * 2.1-2.6)
+— the statistical concentration of per-sample bounce counts over spp
+samples is what the per-sample sweep can never exploit.
+
+The reference analogue: its threads render PIXELS, not bounces — a thread
+finishing a short path immediately starts the pixel's next sample
+(reference main.cpp:373-388, the sample loop inside the pixel loop). This
+kernel is that loop structure, vectorized: the per-sample wavefront sweep
+was the transpose, and this transposes it back at full SIMD width.
+
+Parity with make_fused_sample/trace_rays_fused: same search (shared tile
+sweeps), same RNG draws (same (pixel, sample, bounce, slot) counters),
+same shading chain (`_shade`), same left-fold accumulation order
+(per-sample color accumulates in channels 9-11 exactly as the per-sample
+sweep's state does, and flushes into the running total 16-18 once per
+sample in sample order), and an op-for-op replay of the XLA raygen
+(_regen_rays). The one residual: the compiler contracts FP differently in
+different kernel bodies (~1-ulp scatter-direction drift), which chaotically
+flips rare near-tie winners — measured 1 path in ~8k samples, same error
+class as the packed argmin, so parity tests are statistical
+(tests/test_regen.py).
+
+Forward-only (the differentiable path keeps the per-sample custom-VJP
+sweep of bounce_step.make_fused_sample; a regen VJP would need per-STEP
+hit records plus raygen cotangents in-kernel — future work, same design).
+
+State layout [24, R] (f32; ch 13/21 are u32 bitcast):
+   0-2  origin        3-5  direction     6-8  attenuation
+   9-11 color of the CURRENT sample (matches bounce_step ch 9-11)
+   12   alive (0/1)   13   rng stream base (u32 bits)
+   14   sample index s_i (exact small f32)
+   15   bounce index b_i within the sample (exact small f32)
+   16-18 color running total over finished samples
+   19   x: the lane's pixel x coordinate (exact f32)
+   20   y: the lane's pixel y coordinate
+   21   h1: per-(pixel, seed) hash (u32 bits); stream base of sample s is
+        pcg_hash(h1 + s * MIX_SAMPLE) — core/rng.ray_base split so the
+        pixel half is hoisted out of the kernel
+   22   rays-cast counter (exact f32; <= spp * max_bounces <= 2^24)
+   23   unused
+
+Camera SMEM block [1, 12]: position(3) film_center(3) cam_x(3) cam_y(3);
+width/height/film extent are static and baked into the kernel. The
+in-kernel raygen replays ops/raygen.camera_rays' f32 op sequence EXACTLY
+(_regen_rays docstring) — that, plus the shared counter RNG, is what makes
+regeneration bit-identical to XLA-generated primary rays.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ray.core.scene import F32_MAX, Scene
+from tpu_ray.kernels.bounce_step import (
+    BLOCK_R, _draw, _exact_tile, _fused_tables, _gather_winner, _interpret,
+    _normalize_eps3, _pack_bits, _pack_tile, _pcg_hash, _shade, _tile_roots,
+    _tile_tri_t, _u32, _unpack, _use_pack, permute_scene)
+
+_MIX_SAMPLE = 0x85EBCA6B   # core/rng.py ray_base sample mixer
+_MIX_BOUNCE = 0x632BE59B
+
+
+def _rand_draws_ch(st):
+    """The four per-bounce draws keyed by the PER-LANE bounce channel 15
+    (bounce_step._rand_draws takes the bounce as an SMEM scalar — here
+    lanes sit at different bounces of different samples)."""
+    base = _u32(jax.lax.stop_gradient(st[13:14, :]))
+    b_u32 = pltpu.bitcast(st[15:16, :].astype(jnp.int32), jnp.uint32)
+    bterm = b_u32 * jnp.uint32(_MIX_BOUNCE)
+    return (_draw(base, bterm, 0, -1.0, 1.0),
+            _draw(base, bterm, 1, -1.0, 1.0),
+            _draw(base, bterm, 2, -1.0, 1.0),
+            _draw(base, bterm, 3, 0.0, 1.0))
+
+
+def _regen_rays(cam_ref, st, s_next, width: int, height: int,
+                film_w: float, film_h: float):
+    """In-kernel primary-ray generation for per-lane sample s_next [1,BR].
+
+    -> (o3 [3,BR], d3 [3,BR], base [1,BR] u32). BIT-identical to
+    ops/raygen.camera_rays: same h1/sample hash split, same slot-4/5
+    jitter draws, and — crucially — the exact same f32 op sequence for the
+    film math and the eps-normalize (including the true divide by width
+    and the 1/sqrt form of ops/vec.normalize_eps; algebraically equal
+    rewrites like pre-distributed jitter coefficients or lax.rsqrt flip
+    rare near-tie winners and break bit parity — measured)."""
+    from tpu_ray.core.scene import F32_EPS
+    h1 = _u32(st[21:22, :])
+    base = _pcg_hash(h1 + pltpu.bitcast(s_next, jnp.uint32)
+                     * jnp.uint32(_MIX_SAMPLE))
+    zero = jnp.uint32(0)
+    jx = _draw(base, zero, 4, -0.5, 0.5)
+    jy = _draw(base, zero, 5, -0.5, 0.5)
+
+    px, py, pz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    fcx, fcy, fcz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    cxx, cxy, cxz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    cyx, cyy, cyz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+
+    # ops/raygen.camera_rays:31-44, op for op
+    film_x = -1.0 + ((st[19:20, :] + jx) * 2.0) / jnp.float32(width)
+    film_y = -1.0 + ((st[20:21, :] + jy) * 2.0) / jnp.float32(height)
+    fx = film_x * jnp.float32(film_w) * 0.5
+    fy = film_y * jnp.float32(film_h) * 0.5
+    rx = fcx + fx * cxx + fy * cyx - px
+    ry = fcy + fx * cxy + fy * cyy - py
+    rz = fcz + fx * cxz + fy * cyz - pz
+    lsq = rx * rx + ry * ry + rz * rz
+    ok = lsq > F32_EPS
+    inv = 1.0 / jnp.sqrt(jnp.where(ok, lsq, 1.0))
+    zf = jnp.zeros_like(rx)
+    dx = jnp.where(ok, rx * inv, zf)
+    dy = jnp.where(ok, ry * inv, zf)
+    dz = jnp.where(ok, rz * inv, zf)
+    o3 = jnp.concatenate([jnp.full_like(dx, px), jnp.full_like(dx, py),
+                          jnp.full_like(dx, pz)], axis=0)
+    d3 = jnp.concatenate([dx, dy, dz], axis=0)
+    return o3, d3, base
+
+
+def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
+                  m_pad: int, p_pad: int, block_n: int, block_m: int,
+                  use_sky: bool, pack: bool, max_bounces: int,
+                  width: int, height: int, film_w: float, film_h: float):
+    n_tiles_s = n_pad // block_n if n_pad else 0
+    n_tiles_t = m_pad // block_m if m_pad else 0
+    n_tiles = n_tiles_s + n_tiles_t
+    k = 0
+    tri_ref = None
+    if m_pad:
+        tri_ref = refs[k]; k += 1
+    table_ref, out_ref = refs[k:k + 2]
+    scratch = refs[k + 2:]
+
+    j = pl.program_id(1)
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    low_mask, miss_s = _pack_bits(p_pad)
+    if pack:
+        carry_s, = scratch
+
+        @pl.when(j == 0)
+        def _():
+            carry_s[:] = jnp.full_like(carry_s, miss_s)
+    else:
+        tmin_s, idxc_s = scratch
+
+        @pl.when(j == 0)
+        def _():
+            tmin_s[:] = jnp.full_like(tmin_s, F32_MAX)
+            idxc_s[:] = jnp.zeros_like(idxc_s)
+
+    # identical tile sweep to bounce_step._fwd_kernel (unculled shapes)
+    if n_tiles_s:
+        @pl.when(block_alive & (j < n_tiles_s))
+        def _():
+            tb = _tile_roots(state_ref[0:16], stab_ref, block_n)
+            row0 = j * block_n
+            if pack:
+                carry_s[:] = jnp.minimum(
+                    carry_s[:],
+                    jnp.min(_pack_tile(tb, row0, low_mask), axis=0,
+                            keepdims=True))
+            else:
+                tmin, idxc = _exact_tile(tb, row0, shift_valid=True)
+                better = tmin < tmin_s[:]
+                idxc_s[:] = jnp.where(better, idxc, idxc_s[:])
+                tmin_s[:] = jnp.where(better, tmin, tmin_s[:])
+
+    if n_tiles_t:
+        @pl.when(block_alive & (j >= n_tiles_s))
+        def _():
+            tb = _tile_tri_t(state_ref[0:16], tri_ref, block_m)
+            row0 = n_pad + (j - n_tiles_s) * block_m
+            if pack:
+                carry_s[:] = jnp.minimum(
+                    carry_s[:],
+                    jnp.min(_pack_tile(tb, row0, low_mask), axis=0,
+                            keepdims=True))
+            else:
+                tmin, idxc = _exact_tile(tb, row0, shift_valid=False)
+                better = tmin < tmin_s[:]
+                idxc_s[:] = jnp.where(better, idxc, idxc_s[:])
+                tmin_s[:] = jnp.where(better, tmin, tmin_s[:])
+
+    @pl.when((j == n_tiles - 1) & jnp.logical_not(block_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+
+    @pl.when((j == n_tiles - 1) & block_alive)
+    def _():
+        st = state_ref[:]
+        if pack:
+            idx, hit = _unpack(carry_s[:], low_mask, miss_s)
+        else:
+            idx = idxc_s[:]
+            hit = tmin_s[:] < F32_MAX
+        winner, _ = _gather_winner(table_ref, idx, p_pad)
+        alive = st[12:13, :] > 0.5
+        live = alive & hit
+        sky_mask = alive & jnp.logical_not(hit)
+        is_tri = (idx >= n_pad) if m_pad else None
+        rand = _rand_draws_ch(st)
+        shaded = _shade(st[0:16], winner, live, sky_mask, rand, use_sky,
+                        is_tri)
+
+        # ---- regeneration (the part bounce_step has no analogue for) ----
+        b_next = st[15:16, :] + 1.0
+        s_i = st[14:15, :]
+        # sample ends: ray died (miss), or its bounce budget is spent
+        cont = live & (b_next < jnp.float32(max_bounces))
+        finished = alive & jnp.logical_not(cont)
+        s_next = s_i + jnp.where(finished, 1.0, 0.0)
+        has_more = finished & (s_next < cam_ref[0, 12])   # s_end scalar
+
+        # flush the finished sample's color into the running total (the
+        # same one-add-per-sample left fold as the per-sample sweep)
+        total = st[16:19, :] + jnp.where(finished, shaded[9:12, :], 0.0)
+        color = jnp.where(finished, 0.0, shaded[9:12, :])
+
+        o3, d3, base = _regen_rays(cam_ref, st,
+                                   s_next.astype(jnp.int32),
+                                   width, height, film_w, film_h)
+        fin3 = jnp.broadcast_to(has_more, (3, has_more.shape[1]))
+        new_o = jnp.where(fin3, o3, shaded[0:3, :])
+        new_d = jnp.where(fin3, d3, shaded[3:6, :])
+        new_at = jnp.where(fin3, 1.0, shaded[6:9, :])
+        new_alive = jnp.where(finished,
+                              jnp.where(has_more, 1.0, 0.0),
+                              shaded[12:13, :])
+        new_base = jnp.where(has_more,
+                             pltpu.bitcast(base, jnp.float32),
+                             shaded[13:14, :])
+        new_b = jnp.where(finished, 0.0, b_next)
+        rays = st[22:23, :] + jnp.where(alive, 1.0, 0.0)
+
+        out_ref[:] = jnp.concatenate([
+            new_o, new_d, new_at, color, new_alive, new_base,
+            s_next, new_b, total, st[19:22, :], rays, st[23:24, :],
+        ], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "use_sky", "block_r", "max_bounces", "exact_argmin",
+    "width", "height"))
+def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
+               max_bounces: int, width: int, height: int,
+               block_r: int = BLOCK_R, exact_argmin: bool = False):
+    """One persistent-wavefront step over every ray block: search + shade
+    + in-lane regeneration. cam13 [1,13] f32 (position, film_center,
+    cam_x, cam_y, s_end = sample_start + spp as exact f32),
+    state [24, R]. -> new state [24, R]."""
+    from tpu_ray.core.camera import film_extent
+    film_w, film_h = film_extent(width, height)
+    p_pad = table48.shape[1]
+    assert table48.shape[0] == 48 and table48.dtype == jnp.bfloat16
+    r_tot = state.shape[1]
+    assert state.shape[0] == 24 and r_tot % block_r == 0
+    m_pad = 0 if tri_tab is None else tri_tab.shape[0] // 4
+    n_pad = p_pad - m_pad
+    block_n = min(n_pad, 1024)
+    block_m = min(m_pad, 128) if m_pad else 128
+    n_tiles_s = n_pad // block_n
+    n_tiles = n_tiles_s + (m_pad // block_m if m_pad else 0)
+    pack = _use_pack(p_pad, exact_argmin)
+
+    tri_in, tri_spec = [], []
+    if m_pad:
+        tri_in = [tri_tab]
+        tri_spec = [pl.BlockSpec(
+            (4 * block_m, 96),
+            lambda i, j: (jnp.clip(j - n_tiles_s, 0,
+                                   m_pad // block_m - 1), 0),
+            memory_space=pltpu.VMEM)]
+    if pack:
+        scratch = [pltpu.VMEM((1, block_r), jnp.int32)]
+    else:
+        scratch = [pltpu.VMEM((1, block_r), jnp.float32),
+                   pltpu.VMEM((1, block_r), jnp.int32)]
+
+    return pl.pallas_call(
+        functools.partial(_regen_kernel, n_pad=n_pad, m_pad=m_pad,
+                          p_pad=p_pad, block_n=block_n, block_m=block_m,
+                          use_sky=use_sky, pack=pack,
+                          max_bounces=max_bounces, width=width,
+                          height=height, film_w=float(film_w),
+                          film_h=float(film_h)),
+        grid=(r_tot // block_r, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 13), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, block_r), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * block_n, 54),
+                         lambda i, j: (jnp.minimum(j, n_tiles_s - 1), 0),
+                         memory_space=pltpu.VMEM),
+            *tri_spec,
+            pl.BlockSpec((48, p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((24, block_r), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(cam13, state, stab, *tri_in, table48)
+
+
+def _cam13(camera, s_end):
+    """Traced camera basis + sample end -> [1,13] f32 SMEM operand:
+    position(3), film_center(3), cam_x(3), cam_y(3), s_end (exact f32;
+    lanes exhaust when their sample index reaches it). Film extent and
+    width/height are static and baked into the kernel."""
+    cam_x, cam_y, _, film_center = camera.basis()
+    return jnp.concatenate([
+        camera.position, film_center, cam_x, cam_y,
+        jnp.asarray(s_end, jnp.float32).reshape(1),
+    ]).reshape(1, 13).astype(jnp.float32)
+
+
+def make_trace_regen(width: int, height: int):
+    """Persistent-wavefront spp-sample trace bound to a film size
+    (width/height are film-math statics, mirroring ops/raygen.camera_rays).
+
+    -> run(scene, camera, pixel, spp, seed, max_bounces, ...) giving
+    (color_sum [R,3] summed over spp, rays_cast [] u32 — the reference
+    counter). pixel [R] i32 flat indices (tile-major for block coherence,
+    exactly as render_pass feeds the fused backend). Forward-only;
+    bit-identical totals to the per-sample fused sweep (module docstring).
+    """
+    from tpu_ray.core import rng
+    from tpu_ray.ops.raygen import camera_rays
+
+    def run(scene: Scene, camera, pixel, spp: int, seed: int,
+            max_bounces: int, sample_start=0, block_r: int = BLOCK_R,
+            exact_argmin: bool = False):
+        scene = permute_scene(scene)
+        tb = _fused_tables(scene)
+        r = pixel.shape[0]
+        r_pad = -(-r // block_r) * block_r
+
+        s0 = jnp.asarray(sample_start, jnp.uint32)
+        o, d, base0 = camera_rays(camera, width, height, pixel, s0, seed)
+        # per-lane raygen constants: raw pixel coordinates (the kernel
+        # replays camera_rays' film math op for op) + the pixel-half hash
+        ax = (pixel % width).astype(jnp.float32)
+        ay = (pixel // width).astype(jnp.float32)
+        h1 = rng.pcg_hash(pixel.astype(jnp.uint32)
+                          * jnp.uint32(0x9E3779B1)
+                          ^ jnp.uint32(int(seed) & 0xFFFFFFFF), jnp)
+
+        st = jnp.zeros((24, r_pad), jnp.float32)
+        st = st.at[0:3, :r].set(o.T)
+        st = st.at[3:6, :r].set(d.T)
+        st = st.at[6:9, :r].set(1.0)
+        st = st.at[12, :r].set(1.0)
+        st = st.at[13, :r].set(
+            jax.lax.bitcast_convert_type(base0, jnp.float32))
+        st = st.at[14, :r].set(s0.astype(jnp.float32))
+        st = st.at[19, :r].set(ax)
+        st = st.at[20, :r].set(ay)
+        st = st.at[21, :r].set(
+            jax.lax.bitcast_convert_type(h1, jnp.float32))
+        s_end = s0.astype(jnp.float32) + jnp.float32(spp)
+        # padding lanes: s_i = s_end marks them exhausted from step 0
+        if r_pad > r:
+            st = st.at[14, r:].set(s_end)
+
+        cam13 = _cam13(camera, s_end)
+        k_max = spp * max_bounces
+
+        def cond(carry):
+            st, t = carry
+            return (t < k_max) & (jnp.max(st[12, :]) > 0.5)
+
+        def body(carry):
+            st, t = carry
+            st = regen_step(cam13, tb["t48"], tb["stab_full"], st,
+                            tb["tri_full"], use_sky=scene.use_sky,
+                            max_bounces=max_bounces,
+                            width=width, height=height,
+                            block_r=block_r, exact_argmin=exact_argmin)
+            return st, t + 1
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+        color = st[16:19, :r].T
+        rays = jnp.sum(st[22, :r].astype(jnp.uint32))
+        return color, rays
+
+    return run

@@ -225,7 +225,8 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
                   ray_chunk: Optional[int] = None, remat: bool = False,
                   shading: str = "path", lights: tuple = (),
                   light_data=None, backend_is_fused: bool = False,
-                  exact_argmin: bool = False, cull_secondary: bool = False):
+                  exact_argmin: bool = False, cull_secondary: bool = False,
+                  regen: bool = False):
     """`spp` jittered samples for an arbitrary flat pixel subset.
 
     pixel [R] i32 flat indices (row-major). -> (color_sum [R,3] linear
@@ -257,6 +258,17 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     if remat == "save_hits_bounce":
         bounce_policy = jax.checkpoint_policies.save_only_these_names(
             "hit_mask", "hit_idx")
+    if shading == "path" and backend_is_fused and regen:
+        # Persistent-wavefront forward: all spp samples in ONE kernel loop
+        # with in-lane sample regeneration (kernels/regen.py) — the
+        # occupancy-waste fix. Forward-only: reverse-mode would hit the
+        # while_loop; the differentiable path below stays the default.
+        from tpu_ray.kernels.regen import make_trace_regen
+        run = make_trace_regen(width, height)
+        color_sum, rays = run(scene, camera, pixel, spp, seed, max_bounces,
+                              sample_start=sample_start,
+                              exact_argmin=exact_argmin)
+        return color_sum, rays
     if shading == "path" and backend_is_fused:
         # The fused sample carries its own custom VJP (raygen + bounce scan
         # in one boundary, saving only the [B,R] i16 hit records — the
@@ -318,12 +330,13 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
 
 @partial(jax.jit, static_argnames=(
     "width", "height", "spp", "max_bounces", "backend", "ray_chunk", "seed",
-    "shading", "lights", "exact_argmin", "cull_secondary"))
+    "shading", "lights", "exact_argmin", "cull_secondary", "regen"))
 def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start, seed: int = 0, max_bounces: int = 5,
                 backend: str = "jnp", ray_chunk: Optional[int] = None,
                 shading: str = "path", lights: tuple = (),
-                exact_argmin: bool = False, cull_secondary: bool = False):
+                exact_argmin: bool = False, cull_secondary: bool = False,
+                regen: bool = False):
     """One progressive pass: `spp` jittered samples for every pixel.
 
     -> (image_sum [H,W,3] linear radiance summed over spp, rays_cast [] u32).
@@ -347,7 +360,8 @@ def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
         shading=shading, lights=lights, backend_is_fused=fused,
-        exact_argmin=exact_argmin, cull_secondary=cull_secondary)
+        exact_argmin=exact_argmin, cull_secondary=cull_secondary,
+        regen=regen)
     if fused:
         color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3), rays
@@ -384,6 +398,7 @@ class PathTracer:
             backend=cfg.backend, ray_chunk=cfg.ray_chunk,
             shading=cfg.shading, lights=self.lights,
             exact_argmin=cfg.exact_argmin, cull_secondary=cfg.cull_secondary,
+            regen=cfg.regen,
         )
         return accumulate(state, img_sum, cfg.spp), rays
 
