@@ -102,3 +102,21 @@ def test_regen_unaligned_pixel_count():
     assert color.shape == (333, 3)
     assert np.isfinite(np.asarray(color)).all()
     assert rays > 0
+
+
+def test_regen_ray_chunked():
+    # slabbed regen (ray_chunk routed through render_pass): per-slab
+    # while_loops must reproduce the unslabbed render statistically and
+    # the exact ray-count class
+    scene = make_scene("rtweekend")
+    cam = default_camera(scene)
+    w, h, spp = 64, 40, 2
+    i0, r0 = render_pass(scene, cam, width=w, height=h, spp=spp,
+                         sample_start=0, backend="fused", regen=True)
+    i1, r1 = render_pass(scene, cam, width=w, height=h, spp=spp,
+                         sample_start=0, backend="fused", regen=True,
+                         ray_chunk=640)
+    a, b = np.asarray(i0), np.asarray(i1)
+    match = np.abs(a - b).max(axis=-1) < 1e-5
+    assert match.mean() > 0.97, match.mean()
+    assert abs(int(r0) - int(r1)) <= max(2, 0.001 * int(r0))

@@ -265,10 +265,22 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         # while_loop; the differentiable path below stays the default.
         from tpu_ray.kernels.regen import make_trace_regen
         run = make_trace_regen(width, height)
-        color_sum, rays = run(scene, camera, pixel, spp, seed, max_bounces,
-                              sample_start=sample_start,
-                              exact_argmin=exact_argmin)
-        return color_sum, rays
+        if ray_chunk is None:
+            return run(scene, camera, pixel, spp, seed, max_bounces,
+                       sample_start=sample_start, exact_argmin=exact_argmin)
+        # slab the ray axis: each slab's while_loop terminates at ITS OWN
+        # slowest lane (sky-dominated slabs exhaust their samples in
+        # ~1.2*spp steps, glass-heavy slabs run longer), so the whole-image
+        # worst lane no longer sets the step count — and the streamed
+        # state is one slab, not the full wavefront
+        k = n // ray_chunk
+
+        def one(px_slab):
+            return run(scene, camera, px_slab, spp, seed, max_bounces,
+                       sample_start=sample_start, exact_argmin=exact_argmin)
+
+        color, rays = jax.lax.map(one, pixel.reshape(k, ray_chunk))
+        return color.reshape(n, 3), jnp.sum(rays)
     if shading == "path" and backend_is_fused:
         # The fused sample carries its own custom VJP (raygen + bounce scan
         # in one boundary, saving only the [B,R] i16 hit records — the
