@@ -78,3 +78,27 @@ def test_fit_reduces_loss_and_reports_recovery(tmp_path):
     assert len(recov) == 2                 # before + after parameter errors
     assert all(np.isfinite(v) for r in recov
                for k, v in r.items() if k.startswith("d_"))
+
+
+def test_render_knobs_reach_render_pass(tmp_path, monkeypatch):
+    # regression: the CLI once built its render kwargs without
+    # exact_argmin/cull_secondary/regen, silently ignoring those flags —
+    # capture what cmd_render actually passes down
+    import tpu_ray.models.path_tracer as pt
+    seen = {}
+    orig = pt.render_pass
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr("tpu_ray.cli.render_pass", spy, raising=False)
+    # cli imports render_pass locally inside cmd_render, so patch the source
+    monkeypatch.setattr(pt, "render_pass", spy)
+    out = str(tmp_path / "k.png")
+    rc = main(["render", "--scene", "rgb", "--width", "32", "--height", "16",
+               "--spp", "1", "--backend", "fused", "--regen",
+               "--exact-argmin", "--out", out])
+    assert rc == 0
+    assert seen.get("regen") is True
+    assert seen.get("exact_argmin") is True

@@ -120,3 +120,23 @@ def test_regen_ray_chunked():
     match = np.abs(a - b).max(axis=-1) < 1e-5
     assert match.mean() > 0.97, match.mean()
     assert abs(int(r0) - int(r1)) <= max(2, 0.001 * int(r0))
+
+
+def test_regen_sharded_matches_single():
+    # shard_map'd regen: per-shard while_loops (independent trip counts)
+    # must reproduce the single-device regen render
+    import jax
+    from tpu_ray.parallel import make_mesh, render_pass_sharded, shard_scene
+    scene = make_scene("rtweekend")
+    cam = default_camera(scene)
+    w, h, spp = 64, 40, 2
+    i0, r0 = render_pass(scene, cam, width=w, height=h, spp=spp,
+                         sample_start=0, backend="fused", regen=True)
+    mesh = make_mesh((8,))
+    i1, r1 = render_pass_sharded(shard_scene(scene, mesh), cam, mesh=mesh,
+                                 width=w, height=h, spp=spp, sample_start=0,
+                                 backend="fused", regen=True)
+    a, b = np.asarray(i0), np.asarray(i1)
+    match = np.abs(a - b).max(axis=-1) < 1e-5
+    assert match.mean() > 0.97, match.mean()
+    assert abs(int(r0) - int(r1)) <= max(2, 0.001 * int(r0))

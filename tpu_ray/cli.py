@@ -114,7 +114,8 @@ def cmd_render(args) -> int:
     kw = dict(width=cfg.width, height=cfg.height, spp=cfg.spp, seed=cfg.seed,
               max_bounces=cfg.max_bounces, backend=cfg.backend,
               ray_chunk=cfg.ray_chunk, shading=cfg.shading,
-              lights=tracer.lights)
+              lights=tracer.lights, exact_argmin=cfg.exact_argmin,
+              cull_secondary=cfg.cull_secondary, regen=cfg.regen)
 
     with profiler_trace(args.profile):
         for i in range(args.passes):

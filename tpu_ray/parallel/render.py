@@ -81,14 +81,16 @@ def probe_sphere_sharded(scene_local: Scene, origins, directions,
 
 @partial(jax.jit, static_argnames=(
     "mesh", "width", "height", "spp", "max_bounces", "backend", "ray_chunk",
-    "seed", "shading", "lights", "exact_argmin"))
+    "seed", "shading", "lights", "exact_argmin", "cull_secondary",
+    "regen"))
 def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
                         width: int, height: int, spp: int, sample_start,
                         seed: int = 0, max_bounces: int = 5,
                         backend: str = "jnp",
                         ray_chunk: Optional[int] = None,
                         shading: str = "path", lights: tuple = (),
-                        exact_argmin: bool = False):
+                        exact_argmin: bool = False,
+                        cull_secondary: bool = False, regen: bool = False):
     """One progressive pass, sharded over the mesh.
 
     -> (image_sum [H,W,3] sharded over rows on "rays", rays_cast [] u32
@@ -101,6 +103,7 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     assert n % n_ray == 0, (n, n_ray)
     sphere_sharded = SPHERE_AXIS in mesh.axis_names
 
+    assert not regen or backend == "fused", "regen is a fused-backend mode"
     if sphere_sharded:
         n_sph = mesh.shape[SPHERE_AXIS]
         assert scene.n_pad % n_sph == 0, (scene.n_pad, n_sph)
@@ -134,7 +137,11 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
             max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk,
             shading=shading, lights=lights, light_data=light_data,
             backend_is_fused=(backend == "fused"),
-            exact_argmin=exact_argmin)
+            exact_argmin=exact_argmin, cull_secondary=cull_secondary,
+            regen=regen)
+        # regen note: the persistent-wavefront while_loop runs shard-locally
+        # with an independent trip count per shard (no collectives inside),
+        # so sky-heavy shards simply finish early.
         # rays-cast stat: identical on every sphere shard (the bounce loop is
         # redundantly computed there), so reduce over the ray axis only.
         rays = jax.lax.psum(rays, RAY_AXIS)
