@@ -249,7 +249,8 @@ def cmd_animate(args) -> int:
                        backend=args.backend, seed=args.seed,
                        ray_chunk=args.ray_chunk, shading=args.shading,
                        exact_argmin=args.exact_argmin,
-                       cull_secondary=args.cull_secondary)
+                       cull_secondary=args.cull_secondary,
+                       regen=args.regen and args.backend == "fused")
     tracer = PathTracer(cfg)
     scene = tracer.scene
     os.makedirs(args.out_dir, exist_ok=True)
