@@ -257,7 +257,11 @@ def _shade(st, winner, live, sky_mask, rand, use_sky: bool, is_tri=None):
         no = ox_ * cx_ + oy_ * cy_ + oz_ * cz_
         t_t = (r_ - no) / jnp.where(nd == 0.0, 1.0, nd)
         tt = jnp.where(is_tri, t_t, tt)
-        inside = jnp.where(is_tri, nd > 0.0, inside)
+        # mask algebra, not select_n: Mosaic rejects i1-valued select_n
+        # ("Unsupported target bitwidth for truncation") when this chain is
+        # inlined into the regen kernel's while-loop body; (a&p)|(~a&q) is
+        # the identical boolean function and lowers everywhere.
+        inside = (is_tri & (nd > 0.0)) | (jnp.logical_not(is_tri) & inside)
         nrx = jnp.where(is_tri, cx_, nrx)
         nry = jnp.where(is_tri, cy_, nry)
         nrz = jnp.where(is_tri, cz_, nrz)
