@@ -71,6 +71,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -142,10 +143,68 @@ def _regen_rays(cam_ref, st, s_next, width: int, height: int,
     return o3, d3, base
 
 
+def _step_tail(cam_ref, st, idx, hit, table_ref, *, n_pad: int, m_pad: int,
+               p_pad: int, use_sky: bool, max_bounces: int, width: int,
+               height: int, film_w: float, film_h: float):
+    """Everything after the search: winner gather + shading + in-lane
+    regeneration. st [24,BR], idx [1,BR] i32 (winner id; only read on
+    hit lanes — the gather of -1 yields a zero column and `_shade` masks
+    every winner-dependent row by `live`), hit [1,BR] bool.
+    -> (out [24,BR], saved idx record [1,BR] i32: winner id on live lanes,
+    -1 on miss/dead — the regen analogue of bounce_step's hit record).
+    Shared verbatim by the forward kernel (idx/hit from the search carry)
+    and the replay kernel (idx from the saved record, hit = idx >= 0), so
+    replay is bit-identical to the forward by construction."""
+    winner, _ = _gather_winner(table_ref, idx, p_pad)
+    alive = st[12:13, :] > 0.5
+    live = alive & hit
+    sky_mask = alive & jnp.logical_not(hit)
+    is_tri = (idx >= n_pad) if m_pad else None
+    rand = _rand_draws_ch(st)
+    shaded = _shade(st[0:16], winner, live, sky_mask, rand, use_sky,
+                    is_tri)
+
+    # ---- regeneration (the part bounce_step has no analogue for) ----
+    b_next = st[15:16, :] + 1.0
+    s_i = st[14:15, :]
+    # sample ends: ray died (miss), or its bounce budget is spent
+    cont = live & (b_next < jnp.float32(max_bounces))
+    finished = alive & jnp.logical_not(cont)
+    s_next = s_i + jnp.where(finished, 1.0, 0.0)
+    has_more = finished & (s_next < cam_ref[0, 12])   # s_end scalar
+
+    # flush the finished sample's color into the running total (the
+    # same one-add-per-sample left fold as the per-sample sweep)
+    total = st[16:19, :] + jnp.where(finished, shaded[9:12, :], 0.0)
+    color = jnp.where(finished, 0.0, shaded[9:12, :])
+
+    o3, d3, base = _regen_rays(cam_ref, st, s_next.astype(jnp.int32),
+                               width, height, film_w, film_h)
+    fin3 = jnp.broadcast_to(has_more, (3, has_more.shape[1]))
+    new_o = jnp.where(fin3, o3, shaded[0:3, :])
+    new_d = jnp.where(fin3, d3, shaded[3:6, :])
+    new_at = jnp.where(fin3, 1.0, shaded[6:9, :])
+    new_alive = jnp.where(finished,
+                          jnp.where(has_more, 1.0, 0.0),
+                          shaded[12:13, :])
+    new_base = jnp.where(has_more,
+                         pltpu.bitcast(base, jnp.float32),
+                         shaded[13:14, :])
+    new_b = jnp.where(finished, 0.0, b_next)
+    rays = st[22:23, :] + jnp.where(alive, 1.0, 0.0)
+
+    out = jnp.concatenate([
+        new_o, new_d, new_at, color, new_alive, new_base,
+        s_next, new_b, total, st[19:22, :], rays, st[23:24, :],
+    ], axis=0)
+    return out, jnp.where(live, idx, jnp.int32(-1))
+
+
 def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
                   m_pad: int, p_pad: int, block_n: int, block_m: int,
                   use_sky: bool, pack: bool, max_bounces: int,
-                  width: int, height: int, film_w: float, film_h: float):
+                  width: int, height: int, film_w: float, film_h: float,
+                  with_idx: bool = False):
     n_tiles_s = n_pad // block_n if n_pad else 0
     n_tiles_t = m_pad // block_m if m_pad else 0
     n_tiles = n_tiles_s + n_tiles_t
@@ -154,7 +213,11 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
     if m_pad:
         tri_ref = refs[k]; k += 1
     table_ref, out_ref = refs[k:k + 2]
-    scratch = refs[k + 2:]
+    k += 2
+    idx_ref = None
+    if with_idx:
+        idx_ref = refs[k]; k += 1
+    scratch = refs[k:]
 
     j = pl.program_id(1)
     block_alive = jnp.max(state_ref[12:13, :]) > 0.5
@@ -210,6 +273,8 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
     @pl.when((j == n_tiles - 1) & jnp.logical_not(block_alive))
     def _():
         out_ref[:] = state_ref[:]
+        if with_idx:
+            idx_ref[:] = jnp.full_like(idx_ref, -1)
 
     @pl.when((j == n_tiles - 1) & block_alive)
     def _():
@@ -219,61 +284,127 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
         else:
             idx = idxc_s[:]
             hit = tmin_s[:] < F32_MAX
-        winner, _ = _gather_winner(table_ref, idx, p_pad)
+        out, rec = _step_tail(cam_ref, st, idx, hit, table_ref,
+                              n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
+                              use_sky=use_sky, max_bounces=max_bounces,
+                              width=width, height=height, film_w=film_w,
+                              film_h=film_h)
+        out_ref[:] = out
+        if with_idx:
+            idx_ref[:] = rec
+
+
+def _regen_replay_kernel(cam_ref, state_ref, idx_ref, table_ref, out_ref, *,
+                         n_pad: int, m_pad: int, p_pad: int, use_sky: bool,
+                         max_bounces: int, width: int, height: int,
+                         film_w: float, film_h: float):
+    """Search-free regen step from the saved winner record (bit-identical
+    to the forward: shared `_step_tail`)."""
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+
+    @pl.when(block_alive)
+    def _():
+        st = state_ref[:]
+        idx = idx_ref[:]
+        out, _ = _step_tail(cam_ref, st, idx, idx >= 0, table_ref,
+                            n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
+                            use_sky=use_sky, max_bounces=max_bounces,
+                            width=width, height=height, film_w=film_w,
+                            film_h=film_h)
+        out_ref[:] = out
+
+
+def _regen_bwd_kernel(cam_ref, state_ref, idx_ref, table_ref, dout_ref,
+                      dstate_ref, dtable_ref, dregen_ref, *, n_pad: int,
+                      m_pad: int, p_pad: int, use_sky: bool,
+                      max_bounces: int):
+    """Reverse of one regen step: in-kernel jax.vjp of the smooth chain
+    (shading + the regeneration selects), mirroring bounce_step._bwd_kernel.
+
+    Cotangents of the REGENERATED primary rays (the `has_more` lanes, whose
+    new o/d came from the in-kernel raygen) are NOT back-propagated through
+    `_regen_rays` here; they are emitted as dregen [6,BR] (masked d_out
+    rows 0:6) and routed through the XLA `ops/raygen.camera_rays` vjp
+    outside the kernel — the two raygens are bit-identical by construction
+    (`_regen_rays` docstring), so the cotangent composition is exact while
+    the kernel needs no camera-parameter reduction."""
+    from tpu_ray.kernels.bounce_step import _scatter_dtable
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dtable_ref[:] = jnp.zeros_like(dtable_ref)
+
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        # forward was the identity on dead blocks
+        dstate_ref[:] = dout_ref[:]
+        dregen_ref[:] = jnp.zeros_like(dregen_ref)
+
+    @pl.when(block_alive)
+    def _():
+        st = state_ref[:]
+        idx = idx_ref[:]
+        winner, onehot = _gather_winner(table_ref, idx, p_pad)
         alive = st[12:13, :] > 0.5
-        live = alive & hit
-        sky_mask = alive & jnp.logical_not(hit)
+        live = alive & (idx >= 0)
+        sky_mask = alive & jnp.logical_not(idx >= 0)
         is_tri = (idx >= n_pad) if m_pad else None
         rand = _rand_draws_ch(st)
-        shaded = _shade(st[0:16], winner, live, sky_mask, rand, use_sky,
-                        is_tri)
-
-        # ---- regeneration (the part bounce_step has no analogue for) ----
+        # control closures, recomputed exactly as the forward's _step_tail
         b_next = st[15:16, :] + 1.0
-        s_i = st[14:15, :]
-        # sample ends: ray died (miss), or its bounce budget is spent
         cont = live & (b_next < jnp.float32(max_bounces))
         finished = alive & jnp.logical_not(cont)
-        s_next = s_i + jnp.where(finished, 1.0, 0.0)
-        has_more = finished & (s_next < cam_ref[0, 12])   # s_end scalar
+        s_next = st[14:15, :] + jnp.where(finished, 1.0, 0.0)
+        has_more = finished & (s_next < cam_ref[0, 12])
+        br = has_more.shape[1]
+        fin3 = jnp.broadcast_to(has_more, (3, br))
+        fdone3 = jnp.broadcast_to(finished, (3, br))
 
-        # flush the finished sample's color into the running total (the
-        # same one-add-per-sample left fold as the per-sample sweep)
-        total = st[16:19, :] + jnp.where(finished, shaded[9:12, :], 0.0)
-        color = jnp.where(finished, 0.0, shaded[9:12, :])
+        def f(st16, tot3, w):
+            # the smooth subset of _step_tail's output: rows 0-11 (o, d,
+            # attenuation, sample color) and 16-18 (running total). The
+            # regenerated o/d are constants w.r.t. (st16, tot3, w) —
+            # where(fin3, ·, shaded) has the same vjp for any constant.
+            shaded = _shade(st16, w, live, sky_mask, rand, use_sky, is_tri)
+            out_a = jnp.concatenate([
+                jnp.where(fin3, 0.0, shaded[0:3, :]),
+                jnp.where(fin3, 0.0, shaded[3:6, :]),
+                jnp.where(fin3, 1.0, shaded[6:9, :]),
+                jnp.where(fdone3, 0.0, shaded[9:12, :]),
+            ], axis=0)
+            tot_out = tot3 + jnp.where(fdone3, shaded[9:12, :], 0.0)
+            return out_a, tot_out
 
-        o3, d3, base = _regen_rays(cam_ref, st,
-                                   s_next.astype(jnp.int32),
-                                   width, height, film_w, film_h)
-        fin3 = jnp.broadcast_to(has_more, (3, has_more.shape[1]))
-        new_o = jnp.where(fin3, o3, shaded[0:3, :])
-        new_d = jnp.where(fin3, d3, shaded[3:6, :])
-        new_at = jnp.where(fin3, 1.0, shaded[6:9, :])
-        new_alive = jnp.where(finished,
-                              jnp.where(has_more, 1.0, 0.0),
-                              shaded[12:13, :])
-        new_base = jnp.where(has_more,
-                             pltpu.bitcast(base, jnp.float32),
-                             shaded[13:14, :])
-        new_b = jnp.where(finished, 0.0, b_next)
-        rays = st[22:23, :] + jnp.where(alive, 1.0, 0.0)
-
-        out_ref[:] = jnp.concatenate([
-            new_o, new_d, new_at, color, new_alive, new_base,
-            s_next, new_b, total, st[19:22, :], rays, st[23:24, :],
-        ], axis=0)
+        _, vjp_fn = jax.vjp(f, st[0:16], st[16:19], winner)
+        d_st16, d_tot3, d_wn = vjp_fn((dout_ref[0:12, :],
+                                       dout_ref[16:19, :]))
+        zeros5 = jnp.zeros((5, br), jnp.float32)
+        dstate_ref[:] = jnp.concatenate([d_st16, d_tot3, zeros5], axis=0)
+        fin6 = jnp.broadcast_to(has_more, (6, br))
+        dregen_ref[:] = jnp.where(fin6, dout_ref[0:6, :], 0.0)
+        _scatter_dtable(dtable_ref, d_wn, idx, p_pad, onehot)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "use_sky", "block_r", "max_bounces", "exact_argmin",
-    "width", "height"))
+    "width", "height", "with_idx"))
 def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
                max_bounces: int, width: int, height: int,
-               block_r: int = BLOCK_R, exact_argmin: bool = False):
+               block_r: int = BLOCK_R, exact_argmin: bool = False,
+               with_idx: bool = False):
     """One persistent-wavefront step over every ray block: search + shade
     + in-lane regeneration. cam13 [1,13] f32 (position, film_center,
     cam_x, cam_y, s_end = sample_start + spp as exact f32),
-    state [24, R]. -> new state [24, R]."""
+    state [24, R]. -> new state [24, R]; with_idx=True additionally
+    returns the saved winner record [R] i32 (live winner id, -1 on
+    miss/dead) for the differentiable path's replay."""
     from tpu_ray.core.camera import film_extent
     film_w, film_h = film_extent(width, height)
     p_pad = table48.shape[1]
@@ -302,13 +433,20 @@ def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
         scratch = [pltpu.VMEM((1, block_r), jnp.float32),
                    pltpu.VMEM((1, block_r), jnp.int32)]
 
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((24, block_r), lambda i, j: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((24, r_tot), jnp.float32)]
+    if with_idx:
+        out_specs.append(pl.BlockSpec((1, block_r), lambda i, j: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, r_tot), jnp.int32))
+    out = pl.pallas_call(
         functools.partial(_regen_kernel, n_pad=n_pad, m_pad=m_pad,
                           p_pad=p_pad, block_n=block_n, block_m=block_m,
                           use_sky=use_sky, pack=pack,
                           max_bounces=max_bounces, width=width,
                           height=height, film_w=float(film_w),
-                          film_h=float(film_h)),
+                          film_h=float(film_h), with_idx=with_idx),
         grid=(r_tot // block_r, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 13), lambda i, j: (0, 0),
@@ -322,14 +460,103 @@ def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
             pl.BlockSpec((48, p_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((24, block_r), lambda i, j: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
+        out_specs=out_specs if with_idx else out_specs[0],
+        out_shape=out_shape if with_idx else out_shape[0],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
     )(cam13, state, stab, *tri_in, table48)
+    if with_idx:
+        return out[0], out[1][0]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "use_sky", "block_r", "max_bounces", "width", "height", "m_pad"))
+def regen_replay(cam13, table48, state, idx, *, use_sky: bool,
+                 max_bounces: int, width: int, height: int, m_pad: int = 0,
+                 block_r: int = BLOCK_R):
+    """Search-free regen step from the saved winner record idx [R] i32.
+    Bit-identical to the recording forward (shared `_step_tail`)."""
+    from tpu_ray.core.camera import film_extent
+    film_w, film_h = film_extent(width, height)
+    p_pad = table48.shape[1]
+    r_tot = state.shape[1]
+    m_pad = int(m_pad)
+    return pl.pallas_call(
+        functools.partial(_regen_replay_kernel, n_pad=p_pad - m_pad,
+                          m_pad=m_pad, p_pad=p_pad, use_sky=use_sky,
+                          max_bounces=max_bounces, width=width,
+                          height=height, film_w=float(film_w),
+                          film_h=float(film_h)),
+        grid=(r_tot // block_r,),
+        in_specs=[
+            pl.BlockSpec((1, 13), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((24, block_r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(cam13, state, idx.reshape(1, r_tot), table48)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "use_sky", "block_r", "max_bounces", "m_pad"))
+def regen_bwd(cam13, table48, state, idx, d_out, *, use_sky: bool,
+              max_bounces: int, m_pad: int = 0, block_r: int = BLOCK_R):
+    """Reverse of one regen step: (state_in, record, d_state_out) ->
+    (d_state_in [24,R], d_table [16,P], d_regen [6,R] — the cotangent of
+    the regenerated primary rays, to be fed to the XLA raygen vjp)."""
+    p_pad = table48.shape[1]
+    r_tot = state.shape[1]
+    m_pad = int(m_pad)
+    d_state, d_table, d_regen = pl.pallas_call(
+        functools.partial(_regen_bwd_kernel, n_pad=p_pad - m_pad,
+                          m_pad=m_pad, p_pad=p_pad, use_sky=use_sky,
+                          max_bounces=max_bounces),
+        grid=(r_tot // block_r,),
+        in_specs=[
+            pl.BlockSpec((1, 13), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((24, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # d_table is revisited by every grid step (accumulation) — the
+            # sequential grid below makes the revisits well-defined
+            pl.BlockSpec((16, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
+            jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((6, r_tot), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(cam13, state, idx.reshape(1, r_tot), table48, d_out)
+    return d_state, d_table, d_regen
 
 
 def _cam13(camera, s_end):
@@ -344,6 +571,46 @@ def _cam13(camera, s_end):
     ]).reshape(1, 13).astype(jnp.float32)
 
 
+def _wave_init(camera, pixel, spp: int, seed: int, sample_start,
+               width: int, height: int, block_r: int):
+    """Initial persistent-wavefront state (module-docstring layout) for the
+    pixel set: sample `sample_start` primary rays from the XLA raygen +
+    the per-lane regeneration constants. -> (st [24,r_pad], cam13, r)."""
+    from tpu_ray.core import rng
+    from tpu_ray.ops.raygen import camera_rays
+
+    r = pixel.shape[0]
+    r_pad = -(-r // block_r) * block_r
+
+    s0 = jnp.asarray(sample_start, jnp.uint32)
+    o, d, base0 = camera_rays(camera, width, height, pixel, s0, seed)
+    # per-lane raygen constants: raw pixel coordinates (the kernel
+    # replays camera_rays' film math op for op) + the pixel-half hash
+    ax = (pixel % width).astype(jnp.float32)
+    ay = (pixel // width).astype(jnp.float32)
+    h1 = rng.pcg_hash(pixel.astype(jnp.uint32)
+                      * jnp.uint32(0x9E3779B1)
+                      ^ jnp.uint32(int(seed) & 0xFFFFFFFF), jnp)
+
+    st = jnp.zeros((24, r_pad), jnp.float32)
+    st = st.at[0:3, :r].set(o.T)
+    st = st.at[3:6, :r].set(d.T)
+    st = st.at[6:9, :r].set(1.0)
+    st = st.at[12, :r].set(1.0)
+    st = st.at[13, :r].set(
+        jax.lax.bitcast_convert_type(base0, jnp.float32))
+    st = st.at[14, :r].set(s0.astype(jnp.float32))
+    st = st.at[19, :r].set(ax)
+    st = st.at[20, :r].set(ay)
+    st = st.at[21, :r].set(
+        jax.lax.bitcast_convert_type(h1, jnp.float32))
+    s_end = s0.astype(jnp.float32) + jnp.float32(spp)
+    # padding lanes: s_i = s_end marks them exhausted from step 0
+    if r_pad > r:
+        st = st.at[14, r:].set(s_end)
+    return st, _cam13(camera, s_end), r
+
+
 def make_trace_regen(width: int, height: int):
     """Persistent-wavefront spp-sample trace bound to a film size
     (width/height are film-math statics, mirroring ops/raygen.camera_rays).
@@ -353,46 +620,15 @@ def make_trace_regen(width: int, height: int):
     counter). pixel [R] i32 flat indices (tile-major for block coherence,
     exactly as render_pass feeds the fused backend). Forward-only;
     bit-identical totals to the per-sample fused sweep (module docstring).
+    For gradients use `make_regen_trace` (custom VJP, identical forward).
     """
-    from tpu_ray.core import rng
-    from tpu_ray.ops.raygen import camera_rays
-
     def run(scene: Scene, camera, pixel, spp: int, seed: int,
             max_bounces: int, sample_start=0, block_r: int = BLOCK_R,
             exact_argmin: bool = False):
         scene = permute_scene(scene)
         tb = _fused_tables(scene)
-        r = pixel.shape[0]
-        r_pad = -(-r // block_r) * block_r
-
-        s0 = jnp.asarray(sample_start, jnp.uint32)
-        o, d, base0 = camera_rays(camera, width, height, pixel, s0, seed)
-        # per-lane raygen constants: raw pixel coordinates (the kernel
-        # replays camera_rays' film math op for op) + the pixel-half hash
-        ax = (pixel % width).astype(jnp.float32)
-        ay = (pixel // width).astype(jnp.float32)
-        h1 = rng.pcg_hash(pixel.astype(jnp.uint32)
-                          * jnp.uint32(0x9E3779B1)
-                          ^ jnp.uint32(int(seed) & 0xFFFFFFFF), jnp)
-
-        st = jnp.zeros((24, r_pad), jnp.float32)
-        st = st.at[0:3, :r].set(o.T)
-        st = st.at[3:6, :r].set(d.T)
-        st = st.at[6:9, :r].set(1.0)
-        st = st.at[12, :r].set(1.0)
-        st = st.at[13, :r].set(
-            jax.lax.bitcast_convert_type(base0, jnp.float32))
-        st = st.at[14, :r].set(s0.astype(jnp.float32))
-        st = st.at[19, :r].set(ax)
-        st = st.at[20, :r].set(ay)
-        st = st.at[21, :r].set(
-            jax.lax.bitcast_convert_type(h1, jnp.float32))
-        s_end = s0.astype(jnp.float32) + jnp.float32(spp)
-        # padding lanes: s_i = s_end marks them exhausted from step 0
-        if r_pad > r:
-            st = st.at[14, r:].set(s_end)
-
-        cam13 = _cam13(camera, s_end)
+        st, cam13, r = _wave_init(camera, pixel, spp, seed, sample_start,
+                                  width, height, block_r)
         k_max = spp * max_bounces
 
         def cond(carry):
@@ -414,3 +650,177 @@ def make_trace_regen(width: int, height: int):
         return color, rays
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
+                     spp: int, block_r: int = BLOCK_R,
+                     exact_argmin: bool = False, seg: int = 32):
+    """Differentiable persistent-wavefront trace: (scene, camera, pixel, s0)
+    -> (color_sum [R,3], rays_cast [] u32), with a custom VJP.
+
+    The PRIMAL is exactly `make_trace_regen`'s while-loop (so a forward-only
+    call pays nothing extra). Under differentiation the forward instead
+    records, per step, the [R] i16 winner record (regen analogue of
+    bounce_step's save_hits residual) plus a [24,R] state CHECKPOINT every
+    `seg` steps; the backward walks segments in reverse — replaying `seg`
+    states from the checkpoint with the search-free `regen_replay` kernel,
+    then sweeping them backwards through `regen_bwd` (in-kernel vjp of the
+    shade+regen chain). Scene cotangents accumulate on the winner table
+    ([16,P], MXU scatter) and flow out through prim_table's vjp; camera
+    cotangents flow through the XLA raygen vjp — once for the sample-s0
+    rays of the initial state, and once per step for the lanes that
+    regenerated (d_regen from the kernel), which is exact because the
+    in-kernel raygen replays ops/raygen.camera_rays bit-for-bit.
+
+    Residual budget per trace: k_max*R i16 records + ceil(k_max/seg)
+    [24,R] f32 checkpoints; the backward's transient is one seg-deep
+    replayed state stack. Steps past the forward's termination point are
+    all-dead and replay/bwd skip them as identities, so the reverse sweep
+    does the same live work the forward did — the occupancy win carries
+    to the whole fwd+bwd step.
+    """
+    from tpu_ray.kernels.bounce_step import prim_table, table_chunks
+    from tpu_ray.ops.raygen import camera_rays
+
+    k_max = spp * max_bounces
+    n_seg = max(1, -(-k_max // seg))
+    k_pad = n_seg * seg
+
+    def _run_fast(scene, camera, pixel, s0):
+        run = make_trace_regen(width, height)
+        return run(scene, camera, pixel, spp, seed, max_bounces,
+                   sample_start=s0, block_r=block_r,
+                   exact_argmin=exact_argmin)
+
+    @jax.custom_vjp
+    def regen_trace(scene, camera, pixel, s0):
+        return _run_fast(scene, camera, pixel, s0)
+
+    def fwd(scene, camera, pixel, s0):
+        scene_p = permute_scene(scene)
+        tb = _fused_tables(scene_p)
+        assert tb["n_pad"] + tb["m_pad"] < 2 ** 15, (
+            "saved winner records are i16", tb["n_pad"], tb["m_pad"])
+        st, cam13, r = _wave_init(camera, pixel, spp, seed, s0,
+                                  width, height, block_r)
+        r_pad = st.shape[1]
+        ib = jnp.full((k_pad, r_pad), -1, jnp.int16)
+        cb = jnp.zeros((n_seg, 24, r_pad), jnp.float32)
+
+        def cond(carry):
+            st, t, _, _ = carry
+            return (t < k_max) & (jnp.max(st[12, :]) > 0.5)
+
+        def body(carry):
+            st, t, ib, cb = carry
+            cb = jax.lax.cond(
+                t % seg == 0,
+                lambda cb: jax.lax.dynamic_update_slice(
+                    cb, st[None], (t // seg, 0, 0)),
+                lambda cb: cb, cb)
+            st2, rec = regen_step(
+                cam13, tb["t48"], tb["stab_full"], st, tb["tri_full"],
+                use_sky=scene_p.use_sky, max_bounces=max_bounces,
+                width=width, height=height, block_r=block_r,
+                exact_argmin=exact_argmin, with_idx=True)
+            ib = jax.lax.dynamic_update_slice(
+                ib, rec.astype(jnp.int16)[None, :], (t, 0))
+            return st2, t + 1, ib, cb
+
+        st, t_final, ib, cb = jax.lax.while_loop(
+            cond, body, (st, jnp.int32(0), ib, cb))
+        color = st[16:19, :r].T
+        rays = jnp.sum(st[22, :r].astype(jnp.uint32))
+        return (color, rays), (scene, camera, pixel, s0, ib, cb, t_final)
+
+    def bwd(res, cts):
+        scene, camera, pixel, s0, ib, cb, t_final = res
+        d_color, _ = cts                     # rays_cast is integer: no ct
+        r = pixel.shape[0]
+        r_pad = ib.shape[1]
+        use_sky = scene.use_sky
+        m_pad = scene.tris.n_pad if scene.tris is not None else 0
+        # same deterministic permutation as the forward: records live in
+        # Morton order; d_table scatters back through the permutation vjp
+        table, table_vjp = jax.vjp(
+            lambda sc: prim_table(permute_scene(sc)), scene)
+        t48 = table_chunks(table)
+        s_end = jnp.asarray(s0, jnp.float32) + jnp.float32(spp)
+        cam13 = _cam13(camera, s_end)
+        pix_pad = jnp.zeros((r_pad,), jnp.int32).at[:r].set(pixel)
+
+        d_st = jnp.zeros((24, r_pad), jnp.float32)
+        d_st = d_st.at[16:19, :r].set(d_color.T)
+        d_cam0 = jax.tree.map(jnp.zeros_like, camera)
+
+        def cam_ct(st_in, idx_t, d_rg, d_cam):
+            # cotangent of this step's REGENERATED rays through the XLA
+            # raygen (bit-identical twin of the in-kernel _regen_rays);
+            # d_rg is already has_more-masked by the kernel, so dead and
+            # padding lanes contribute exactly zero
+            live = idx_t >= 0
+            alive = st_in[12, :] > 0.5
+            cont = live & (st_in[15, :] + 1.0 < jnp.float32(max_bounces))
+            finished = alive & jnp.logical_not(cont)
+            s_next = st_in[14, :] + jnp.where(finished, 1.0, 0.0)
+
+            def rg(cam):
+                o, d, _ = camera_rays(cam, width, height, pix_pad,
+                                      s_next.astype(jnp.uint32), seed)
+                return o, d
+
+            _, vjp_fn = jax.vjp(rg, camera)
+            (dc,) = vjp_fn((d_rg[0:3, :].T, d_rg[3:6, :].T))
+            return jax.tree.map(jnp.add, d_cam, dc)
+
+        def seg_body(carry):
+            sidx, d_st, d_tab, d_cam = carry
+            st_seg = jax.lax.dynamic_index_in_dim(cb, sidx, 0,
+                                                  keepdims=False)
+            idxs = jax.lax.dynamic_slice(
+                ib, (sidx * seg, 0), (seg, r_pad)).astype(jnp.int32)
+
+            def rbody(st, idx_t):
+                st2 = regen_replay(cam13, t48, st, idx_t, use_sky=use_sky,
+                                   max_bounces=max_bounces, width=width,
+                                   height=height, m_pad=m_pad,
+                                   block_r=block_r)
+                return st2, st
+
+            _, states = jax.lax.scan(rbody, st_seg, idxs)
+
+            def bbody(carry2, xs):
+                d_st, d_tab, d_cam = carry2
+                idx_t, st_in = xs
+                d_in, d_t, d_rg = regen_bwd(
+                    cam13, t48, st_in, idx_t, d_st, use_sky=use_sky,
+                    max_bounces=max_bounces, m_pad=m_pad, block_r=block_r)
+                d_cam = cam_ct(st_in, idx_t, d_rg, d_cam)
+                return (d_in, d_tab + d_t, d_cam), None
+
+            (d_st, d_tab, d_cam), _ = jax.lax.scan(
+                bbody, (d_st, d_tab, d_cam), (idxs, states), reverse=True)
+            return sidx - 1, d_st, d_tab, d_cam
+
+        last_seg = jnp.maximum(t_final - 1, 0) // seg
+        _, d_st0, d_table, d_cam = jax.lax.while_loop(
+            lambda c: c[0] >= 0, seg_body,
+            (last_seg, d_st, jnp.zeros_like(table), d_cam0))
+
+        # sample-s0 rays of the initial state came from the XLA raygen
+        def rg0(cam):
+            o, d, _ = camera_rays(cam, width, height, pixel,
+                                  jnp.asarray(s0, jnp.uint32), seed)
+            return o, d
+
+        _, rg0_vjp = jax.vjp(rg0, camera)
+        (dc0,) = rg0_vjp((d_st0[0:3, :r].T, d_st0[3:6, :r].T))
+        d_camera = jax.tree.map(jnp.add, d_cam, dc0)
+        d_scene = table_vjp(d_table)[0]
+        return (d_scene, d_camera,
+                np.zeros(pixel.shape, dtype=jax.dtypes.float0),
+                np.zeros(jnp.shape(s0), dtype=jax.dtypes.float0))
+
+    regen_trace.defvjp(fwd, bwd)
+    return regen_trace
