@@ -140,8 +140,9 @@ def main():
                     help="fused backend: octant-split tile culling on "
                          "secondary bounces (bit-identical A/B knob)")
     ap.add_argument("--regen", action="store_true",
-                    help="fused backend, --mode fwd only: persistent-"
-                         "wavefront sample regeneration (kernels/regen.py)")
+                    help="fused backend: persistent-wavefront sample "
+                         "regeneration (kernels/regen.py), fwd AND fwd+bwd "
+                         "(custom VJP with segment-checkpointed residuals)")
     args = ap.parse_args()
 
     from tpu_ray import make_scene, default_camera
@@ -166,8 +167,8 @@ def main():
     if args.cull_secondary:
         kw["cull_secondary"] = True
     if args.regen:
-        assert args.mode == "fwd" and args.backend == "fused", (
-            "--regen is the forward-only fused persistent wavefront")
+        assert args.backend == "fused", (
+            "--regen is the fused persistent wavefront")
         kw["regen"] = True
 
     # total rays cast (the reference's counter) from one forward pass

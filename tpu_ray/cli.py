@@ -40,9 +40,10 @@ def _add_common(ap: argparse.ArgumentParser):
                          "secondary bounces (bit-identical; speedup is "
                          "scene-dependent)")
     ap.add_argument("--regen", action="store_true",
-                    help="fused backend (render only): persistent-wavefront "
-                         "sample regeneration — all spp samples in one "
-                         "kernel loop, ~100%% lane occupancy")
+                    help="fused backend: persistent-wavefront sample "
+                         "regeneration — all spp samples in one kernel "
+                         "loop, ~100%% lane occupancy (render, fit, "
+                         "animate; differentiable via its custom VJP)")
     ap.add_argument("--mesh", default=None,
                     help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
     ap.add_argument("--metrics", default=None, help="JSONL metrics file")
@@ -175,7 +176,10 @@ def cmd_fit(args) -> int:
     camera = default_camera(scene)
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               seed=args.seed, max_bounces=args.max_bounces,
-              backend=args.backend, ray_chunk=args.ray_chunk)
+              backend=args.backend, ray_chunk=args.ray_chunk,
+              exact_argmin=args.exact_argmin,
+              cull_secondary=args.cull_secondary,
+              regen=args.regen and args.backend == "fused")
 
     target = render_mean(scene, camera, sample_start=0, **{
         **kw, "spp": max(args.spp, args.target_spp)})

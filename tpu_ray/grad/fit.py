@@ -38,7 +38,8 @@ def make_train_step(*, width: int, height: int, spp: int, seed: int = 0,
                     mesh: Optional[Mesh] = None,
                     optimizer: Optional[optax.GradientTransformation] = None,
                     train_camera: bool = True, train_scene: bool = True,
-                    remat: bool = False,
+                    remat: bool = False, cull_secondary: bool = False,
+                    exact_argmin: bool = False, regen: bool = False,
                     fixed_samples: bool = False):
     """-> (init_fn(scene, camera) -> TrainState,
            step_fn(state, target) -> (TrainState, loss)).
@@ -55,7 +56,9 @@ def make_train_step(*, width: int, height: int, spp: int, seed: int = 0,
         kw = dict(width=width, height=height, spp=spp,
                   sample_start=sample_start, seed=seed,
                   max_bounces=max_bounces, backend=backend,
-                  ray_chunk=ray_chunk, remat=remat)
+                  ray_chunk=ray_chunk, remat=remat,
+                  cull_secondary=cull_secondary,
+                  exact_argmin=exact_argmin, regen=regen)
         if mesh is None:
             return render_mean(scene, camera, **kw)
         return render_mean_sharded(scene, camera, mesh=mesh, **kw)

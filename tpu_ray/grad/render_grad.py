@@ -26,12 +26,16 @@ from tpu_ray.parallel.render import probe_sphere_sharded
 def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start=0, seed: int = 0, max_bounces: int = 5,
                 backend: str = "jnp", ray_chunk: Optional[int] = None,
-                remat: bool = False, cull_secondary: bool = False):
+                remat: bool = False, cull_secondary: bool = False,
+                exact_argmin: bool = False, regen: bool = False):
     """Differentiable spp-mean radiance image [H,W,3].
 
     backend='fused' runs both sweeps on the fused Pallas bounce kernels
     (custom VJP; `remat` is ignored — the fused path saves only its i16 hit
-    records by construction)."""
+    records by construction). regen=True (fused only) runs the
+    persistent-wavefront trace instead (kernels/regen.make_regen_trace):
+    identical estimator, ~100% lane occupancy in BOTH sweeps.
+    exact_argmin selects the bit-stable two-pass winner reduction."""
     fused = backend == "fused"
     if fused:
         # tile-major ray order so the fused kernels' dead-block skip fires
@@ -45,7 +49,8 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
         scene, camera, pixel, width=width, height=height, spp=spp,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
-        remat=remat, backend_is_fused=fused, cull_secondary=cull_secondary)
+        remat=remat, backend_is_fused=fused, cull_secondary=cull_secondary,
+        exact_argmin=exact_argmin, regen=regen)
     if fused:
         color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3) / jnp.float32(spp)
@@ -56,7 +61,8 @@ def render_mean_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
                         seed: int = 0, max_bounces: int = 5,
                         backend: str = "jnp",
                         ray_chunk: Optional[int] = None,
-                        remat: bool = False):
+                        remat: bool = False, cull_secondary: bool = False,
+                        exact_argmin: bool = False, regen: bool = False):
     """Differentiable spp-mean image, pixel axis sharded over `mesh`.
 
     With a "spheres" axis present, each device holds a sphere slice and the
@@ -87,7 +93,9 @@ def render_mean_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
             scene_local, camera, pixel_local, width=width, height=height,
             spp=spp, sample_start=sample_start, seed=seed,
             max_bounces=max_bounces, probe_fn=probe, ray_chunk=ray_chunk,
-            remat=remat, backend_is_fused=fused)
+            remat=remat, backend_is_fused=fused,
+            cull_secondary=cull_secondary, exact_argmin=exact_argmin,
+            regen=regen)
         if sphere_sharded:
             # Every sphere shard computed the same color; pmean makes that
             # replication explicit so the backward pass splits the cotangent

@@ -40,9 +40,14 @@ flips rare near-tie winners — measured 1 path in ~8k samples, same error
 class as the packed argmin, so parity tests are statistical
 (tests/test_regen.py).
 
-Forward-only (the differentiable path keeps the per-sample custom-VJP
-sweep of bounce_step.make_fused_sample; a regen VJP would need per-STEP
-hit records plus raygen cotangents in-kernel — future work, same design).
+Differentiable via `make_regen_trace` (bottom of this file): a custom VJP
+whose primal is the plain forward while-loop. Under differentiation the
+forward records a per-step [R] i16 winner index plus a [24,R] state
+checkpoint every `seg` steps; the backward replays each segment with the
+search-free `regen_replay` kernel and sweeps it in reverse through
+`regen_bwd` (in-kernel jax.vjp of the shade+regen chain). Scene cotangents
+accumulate on the winner table; camera cotangents route through the XLA
+raygen vjp — exact because `_regen_rays` replays it bit-for-bit.
 
 State layout [24, R] (f32; ch 13/21 are u32 bitcast):
    0-2  origin        3-5  direction     6-8  attenuation

@@ -259,15 +259,16 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         bounce_policy = jax.checkpoint_policies.save_only_these_names(
             "hit_mask", "hit_idx")
     if shading == "path" and backend_is_fused and regen:
-        # Persistent-wavefront forward: all spp samples in ONE kernel loop
+        # Persistent-wavefront trace: all spp samples in ONE kernel loop
         # with in-lane sample regeneration (kernels/regen.py) — the
-        # occupancy-waste fix. Forward-only: reverse-mode would hit the
-        # while_loop; the differentiable path below stays the default.
-        from tpu_ray.kernels.regen import make_trace_regen
-        run = make_trace_regen(width, height)
+        # occupancy-waste fix. make_regen_trace carries a custom VJP whose
+        # PRIMAL is the plain forward while-loop (a forward-only call pays
+        # nothing extra), so this one route serves render AND gradients.
+        from tpu_ray.kernels.regen import make_regen_trace
+        run = make_regen_trace(width, height, seed, max_bounces, spp,
+                               exact_argmin=exact_argmin)
         if ray_chunk is None:
-            return run(scene, camera, pixel, spp, seed, max_bounces,
-                       sample_start=sample_start, exact_argmin=exact_argmin)
+            return run(scene, camera, pixel, sample_start)
         # slab the ray axis: each slab's while_loop terminates at ITS OWN
         # slowest lane (sky-dominated slabs exhaust their samples in
         # ~1.2*spp steps, glass-heavy slabs run longer), so the whole-image
@@ -276,8 +277,7 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         k = n // ray_chunk
 
         def one(px_slab):
-            return run(scene, camera, px_slab, spp, seed, max_bounces,
-                       sample_start=sample_start, exact_argmin=exact_argmin)
+            return run(scene, camera, px_slab, sample_start)
 
         color, rays = jax.lax.map(one, pixel.reshape(k, ray_chunk))
         return color.reshape(n, 3), jnp.sum(rays)
