@@ -139,10 +139,14 @@ def main():
     ap.add_argument("--cull-secondary", action="store_true",
                     help="fused backend: octant-split tile culling on "
                          "secondary bounces (bit-identical A/B knob)")
-    ap.add_argument("--regen", action="store_true",
+    ap.add_argument("--regen", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="fused backend: persistent-wavefront sample "
                          "regeneration (kernels/regen.py), fwd AND fwd+bwd "
-                         "(custom VJP with segment-checkpointed residuals)")
+                         "(custom VJP, segment-fused backward). Default: ON "
+                         "for sphere scenes (the measured-best headline "
+                         "path), OFF for triangle soups (regen loses when "
+                         "the search sweep dominates, BASELINE config 4)")
     args = ap.parse_args()
 
     from tpu_ray import make_scene, default_camera
@@ -166,6 +170,8 @@ def main():
         return bench_scaling(args, scene, camera, kw)
     if args.cull_secondary:
         kw["cull_secondary"] = True
+    if args.regen is None:
+        args.regen = args.backend == "fused" and scene.tris is None
     if args.regen:
         assert args.backend == "fused", (
             "--regen is the fused persistent wavefront")

@@ -85,6 +85,8 @@ def main():
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--scene", default="rtweekend")
     ap.add_argument("--backend", default="fused")
+    ap.add_argument("--regen", action="store_true",
+                    help="persistent-wavefront backend (fused only)")
     ap.add_argument("--out", default="/tmp/tpuray_trace")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -101,8 +103,14 @@ def main():
 
     scene = make_scene(args.scene)
     camera = default_camera(scene)
+    n = args.width * args.height
+    ray_chunk = None
+    if n * scene.n_pad > (1 << 28):          # same auto-chunk rule as bench.py
+        ray_chunk = next((c for c in (86400, 129600, 43200, 28800, 14400,
+                                      7200, 3600) if n % c == 0), None)
     kw = dict(width=args.width, height=args.height, spp=args.spp, seed=0,
-              max_bounces=5, backend=args.backend)
+              max_bounces=5, backend=args.backend, ray_chunk=ray_chunk,
+              regen=args.regen)
 
     if args.mode == "fwd":
         def step(scene, camera):

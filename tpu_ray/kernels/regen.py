@@ -43,9 +43,10 @@ class as the packed argmin, so parity tests are statistical
 Differentiable via `make_regen_trace` (bottom of this file): a custom VJP
 whose primal is the plain forward while-loop. Under differentiation the
 forward records a per-step [R] i16 winner index plus a [24,R] state
-checkpoint every `seg` steps; the backward replays each segment with the
-search-free `regen_replay` kernel and sweeps it in reverse through
-`regen_bwd` (in-kernel jax.vjp of the shade+regen chain). Scene cotangents
+checkpoint every `seg` steps; the backward runs ONE segment kernel per
+checkpoint (`regen_seg_bwd`): a search-free forward replay of the segment
+into VMEM scratch, then a reverse sweep through the in-kernel jax.vjp of
+the shade+regen chain (camera cotangents included). Scene cotangents
 accumulate on the winner table; camera cotangents route through the XLA
 raygen vjp — exact because `_regen_rays` replays it bit-for-bit.
 
@@ -299,102 +300,135 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
             idx_ref[:] = rec
 
 
-def _regen_replay_kernel(cam_ref, state_ref, idx_ref, table_ref, out_ref, *,
-                         n_pad: int, m_pad: int, p_pad: int, use_sky: bool,
-                         max_bounces: int, width: int, height: int,
-                         film_w: float, film_h: float):
-    """Search-free regen step from the saved winner record (bit-identical
-    to the forward: shared `_step_tail`)."""
-    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
+                      dout_ref, dstate_ref, dtable_ref, dcam_ref, states,
+                      *, seg: int, n_pad: int, m_pad: int, p_pad: int,
+                      use_sky: bool, max_bounces: int, width: int,
+                      height: int, film_w: float, film_h: float):
+    """One SEGMENT of the regen backward in a single kernel launch.
 
-    @pl.when(jnp.logical_not(block_alive))
-    def _():
-        out_ref[:] = state_ref[:]
+    Forward-replays `seg` steps from the segment checkpoint into VMEM
+    scratch (search-free, shared `_step_tail` — states reproduce the
+    recording forward's), then sweeps them in reverse through the in-kernel
+    jax.vjp of the shade+regen chain. The camera cotangent of the
+    REGENERATED primary rays is computed in-kernel too: the differentiable
+    closure re-expresses `_regen_rays`'s film math in terms of the
+    broadcast camera rows camr_ref [16,BR] (position, film_center, cam_x,
+    cam_y — the same values `_cam13` packs), so d_camera accumulates as
+    per-lane rows in dcam_ref instead of a per-step XLA camera_rays vjp.
+    vs the per-step unfused path this removes: 2 kernel launches per step,
+    seg [24,R] state HBM round-trips per segment, the separate replay
+    gather+shade (the vjp primal recomputes it in-register), and seg XLA
+    raygen re-executions — measured 2026-08-19 (1080p64 headline): the
+    backward-sweep time halves.
 
-    @pl.when(block_alive)
-    def _():
-        st = state_ref[:]
-        idx = idx_ref[:]
-        out, _ = _step_tail(cam_ref, st, idx, idx >= 0, table_ref,
-                            n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
-                            use_sky=use_sky, max_bounces=max_bounces,
-                            width=width, height=height, film_w=film_w,
-                            film_h=film_h)
-        out_ref[:] = out
-
-
-def _regen_bwd_kernel(cam_ref, state_ref, idx_ref, table_ref, dout_ref,
-                      dstate_ref, dtable_ref, dregen_ref, *, n_pad: int,
-                      m_pad: int, p_pad: int, use_sky: bool,
-                      max_bounces: int):
-    """Reverse of one regen step: in-kernel jax.vjp of the smooth chain
-    (shading + the regeneration selects), mirroring bounce_step._bwd_kernel.
-
-    Cotangents of the REGENERATED primary rays (the `has_more` lanes, whose
-    new o/d came from the in-kernel raygen) are NOT back-propagated through
-    `_regen_rays` here; they are emitted as dregen [6,BR] (masked d_out
-    rows 0:6) and routed through the XLA `ops/raygen.camera_rays` vjp
-    outside the kernel — the two raygens are bit-identical by construction
-    (`_regen_rays` docstring), so the cotangent composition is exact while
-    the kernel needs no camera-parameter reduction."""
+    Cotangent routing invariants (mirrors the retired per-step kernels):
+    the regenerated o/d enter through where(fin3, ., shaded), so camera
+    cotangents flow only on has_more lanes; st rows 19:21 (pixel coords,
+    rng hash) and s_next are non-differentiable closures; the winner
+    cotangent scatters onto the table via `_scatter_dtable`."""
+    from tpu_ray.core.scene import F32_EPS
     from tpu_ray.kernels.bounce_step import _scatter_dtable
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         dtable_ref[:] = jnp.zeros_like(dtable_ref)
+        dcam_ref[:] = jnp.zeros_like(dcam_ref)
 
-    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+    block_alive = jnp.max(chk_ref[12:13, :]) > 0.5
 
     @pl.when(jnp.logical_not(block_alive))
     def _():
-        # forward was the identity on dead blocks
+        # the whole segment was the identity on this (dead) block
         dstate_ref[:] = dout_ref[:]
-        dregen_ref[:] = jnp.zeros_like(dregen_ref)
 
     @pl.when(block_alive)
     def _():
-        st = state_ref[:]
-        idx = idx_ref[:]
-        winner, onehot = _gather_winner(table_ref, idx, p_pad)
-        alive = st[12:13, :] > 0.5
-        live = alive & (idx >= 0)
-        sky_mask = alive & jnp.logical_not(idx >= 0)
-        is_tri = (idx >= n_pad) if m_pad else None
-        rand = _rand_draws_ch(st)
-        # control closures, recomputed exactly as the forward's _step_tail
-        b_next = st[15:16, :] + 1.0
-        cont = live & (b_next < jnp.float32(max_bounces))
-        finished = alive & jnp.logical_not(cont)
-        s_next = st[14:15, :] + jnp.where(finished, 1.0, 0.0)
-        has_more = finished & (s_next < cam_ref[0, 12])
-        br = has_more.shape[1]
-        fin3 = jnp.broadcast_to(has_more, (3, br))
-        fdone3 = jnp.broadcast_to(finished, (3, br))
+        br = chk_ref.shape[1]
 
-        def f(st16, tot3, w):
-            # the smooth subset of _step_tail's output: rows 0-11 (o, d,
-            # attenuation, sample color) and 16-18 (running total). The
-            # regenerated o/d are constants w.r.t. (st16, tot3, w) —
-            # where(fin3, ·, shaded) has the same vjp for any constant.
-            shaded = _shade(st16, w, live, sky_mask, rand, use_sky, is_tri)
-            out_a = jnp.concatenate([
-                jnp.where(fin3, 0.0, shaded[0:3, :]),
-                jnp.where(fin3, 0.0, shaded[3:6, :]),
-                jnp.where(fin3, 1.0, shaded[6:9, :]),
-                jnp.where(fdone3, 0.0, shaded[9:12, :]),
-            ], axis=0)
-            tot_out = tot3 + jnp.where(fdone3, shaded[9:12, :], 0.0)
-            return out_a, tot_out
+        def fbody(t, st):
+            states[pl.ds(t * 24, 24), :] = st
+            idx = recs_ref[pl.ds(t, 1), :]
+            out, _ = _step_tail(cam_ref, st, idx, idx >= 0, table_ref,
+                                n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
+                                use_sky=use_sky, max_bounces=max_bounces,
+                                width=width, height=height, film_w=film_w,
+                                film_h=film_h)
+            return out
 
-        _, vjp_fn = jax.vjp(f, st[0:16], st[16:19], winner)
-        d_st16, d_tot3, d_wn = vjp_fn((dout_ref[0:12, :],
-                                       dout_ref[16:19, :]))
-        zeros5 = jnp.zeros((5, br), jnp.float32)
-        dstate_ref[:] = jnp.concatenate([d_st16, d_tot3, zeros5], axis=0)
-        fin6 = jnp.broadcast_to(has_more, (6, br))
-        dregen_ref[:] = jnp.where(fin6, dout_ref[0:6, :], 0.0)
-        _scatter_dtable(dtable_ref, d_wn, idx, p_pad, onehot)
+        jax.lax.fori_loop(0, seg, fbody, chk_ref[:])
+
+        def bbody(t2, d_st):
+            t = seg - 1 - t2
+            st = states[pl.ds(t * 24, 24), :]
+            idx = recs_ref[pl.ds(t, 1), :]
+            winner, onehot = _gather_winner(table_ref, idx, p_pad)
+            alive = st[12:13, :] > 0.5
+            live = alive & (idx >= 0)
+            sky_mask = alive & jnp.logical_not(idx >= 0)
+            is_tri = (idx >= n_pad) if m_pad else None
+            rand = _rand_draws_ch(st)
+            # control closures, recomputed exactly as _step_tail's
+            b_next = st[15:16, :] + 1.0
+            cont = live & (b_next < jnp.float32(max_bounces))
+            finished = alive & jnp.logical_not(cont)
+            s_next = st[14:15, :] + jnp.where(finished, 1.0, 0.0)
+            has_more = finished & (s_next < cam_ref[0, 12])
+            fin3 = jnp.broadcast_to(has_more, (3, br))
+            fdone3 = jnp.broadcast_to(finished, (3, br))
+            # jitter/film constants of the regenerated rays (no camera
+            # dependence; same draws as _regen_rays)
+            h1 = _u32(st[21:22, :])
+            base = _pcg_hash(h1 + pltpu.bitcast(
+                s_next.astype(jnp.int32), jnp.uint32)
+                * jnp.uint32(_MIX_SAMPLE))
+            zero_u = jnp.uint32(0)
+            jx = _draw(base, zero_u, 4, -0.5, 0.5)
+            jy = _draw(base, zero_u, 5, -0.5, 0.5)
+            film_x = -1.0 + ((st[19:20, :] + jx) * 2.0) / jnp.float32(width)
+            film_y = -1.0 + ((st[20:21, :] + jy) * 2.0) / jnp.float32(height)
+            fx = film_x * jnp.float32(film_w) * 0.5
+            fy = film_y * jnp.float32(film_h) * 0.5
+
+            def f(st16, tot3, w, cam_b):
+                # smooth rows of _step_tail's output (0-11 and 16-18), the
+                # regenerated rays differentiated through the camera rows
+                rx = cam_b[3:4] + fx * cam_b[6:7] + fy * cam_b[9:10] \
+                    - cam_b[0:1]
+                ry = cam_b[4:5] + fx * cam_b[7:8] + fy * cam_b[10:11] \
+                    - cam_b[1:2]
+                rz = cam_b[5:6] + fx * cam_b[8:9] + fy * cam_b[11:12] \
+                    - cam_b[2:3]
+                lsq = rx * rx + ry * ry + rz * rz
+                ok = lsq > F32_EPS
+                inv = 1.0 / jnp.sqrt(jnp.where(ok, lsq, 1.0))
+                zf = jnp.zeros_like(rx)
+                d3 = jnp.concatenate([jnp.where(ok, rx * inv, zf),
+                                      jnp.where(ok, ry * inv, zf),
+                                      jnp.where(ok, rz * inv, zf)], axis=0)
+                shaded = _shade(st16, w, live, sky_mask, rand, use_sky,
+                                is_tri)
+                out_a = jnp.concatenate([
+                    jnp.where(fin3, cam_b[0:3, :], shaded[0:3, :]),
+                    jnp.where(fin3, d3, shaded[3:6, :]),
+                    jnp.where(fin3, 1.0, shaded[6:9, :]),
+                    jnp.where(fdone3, 0.0, shaded[9:12, :]),
+                ], axis=0)
+                tot_out = tot3 + jnp.where(fdone3, shaded[9:12, :], 0.0)
+                return out_a, tot_out
+
+            cam_b = camr_ref[:]
+            _, vjp_fn = jax.vjp(f, st[0:16], st[16:19], winner, cam_b)
+            d_st16, d_tot3, d_wn, d_cb = vjp_fn((d_st[0:12, :],
+                                                 d_st[16:19, :]))
+            zeros5 = jnp.zeros((5, br), jnp.float32)
+            dcam_ref[:] = dcam_ref[:] + d_cb
+            _scatter_dtable(dtable_ref, d_wn, idx, p_pad, onehot)
+            return jnp.concatenate([d_st16, d_tot3, zeros5], axis=0)
+
+        d0 = jax.lax.fori_loop(0, seg, bbody, dout_ref[:])
+        dstate_ref[:] = d0
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -478,19 +512,25 @@ def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "use_sky", "block_r", "max_bounces", "width", "height", "m_pad"))
-def regen_replay(cam13, table48, state, idx, *, use_sky: bool,
-                 max_bounces: int, width: int, height: int, m_pad: int = 0,
-                 block_r: int = BLOCK_R):
-    """Search-free regen step from the saved winner record idx [R] i32.
-    Bit-identical to the recording forward (shared `_step_tail`)."""
+    "seg", "use_sky", "block_r", "max_bounces", "width", "height", "m_pad"))
+def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
+                  use_sky: bool, max_bounces: int, width: int, height: int,
+                  m_pad: int = 0, block_r: int = BLOCK_R):
+    """Reverse of one `seg`-step segment from its checkpoint state.
+
+    cam16 [16, block_r]: the 12 `_cam13` basis values broadcast across
+    lanes (+4 zero rows) — the differentiable camera operand. chk [24,R]
+    segment checkpoint, recs [seg,R] i32 winner records, d_out [24,R]
+    cotangent at the segment END. -> (d_state at segment START [24,R],
+    d_table [16,P], d_camrows [16,block_r] — per-lane camera cotangent
+    rows; sum over lanes and feed the `_cam13`-rows vjp)."""
     from tpu_ray.core.camera import film_extent
     film_w, film_h = film_extent(width, height)
     p_pad = table48.shape[1]
-    r_tot = state.shape[1]
+    r_tot = chk.shape[1]
     m_pad = int(m_pad)
     return pl.pallas_call(
-        functools.partial(_regen_replay_kernel, n_pad=p_pad - m_pad,
+        functools.partial(_regen_seg_kernel, seg=seg, n_pad=p_pad - m_pad,
                           m_pad=m_pad, p_pad=p_pad, use_sky=use_sky,
                           max_bounces=max_bounces, width=width,
                           height=height, film_w=float(film_w),
@@ -499,43 +539,11 @@ def regen_replay(cam13, table48, state, idx, *, use_sky: bool,
         in_specs=[
             pl.BlockSpec((1, 13), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, block_r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((24, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_r), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((24, block_r), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=_interpret(),
-    )(cam13, state, idx.reshape(1, r_tot), table48)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "use_sky", "block_r", "max_bounces", "m_pad"))
-def regen_bwd(cam13, table48, state, idx, d_out, *, use_sky: bool,
-              max_bounces: int, m_pad: int = 0, block_r: int = BLOCK_R):
-    """Reverse of one regen step: (state_in, record, d_state_out) ->
-    (d_state_in [24,R], d_table [16,P], d_regen [6,R] — the cotangent of
-    the regenerated primary rays, to be fed to the XLA raygen vjp)."""
-    p_pad = table48.shape[1]
-    r_tot = state.shape[1]
-    m_pad = int(m_pad)
-    d_state, d_table, d_regen = pl.pallas_call(
-        functools.partial(_regen_bwd_kernel, n_pad=p_pad - m_pad,
-                          m_pad=m_pad, p_pad=p_pad, use_sky=use_sky,
-                          max_bounces=max_bounces),
-        grid=(r_tot // block_r,),
-        in_specs=[
-            pl.BlockSpec((1, 13), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((24, block_r), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_r), lambda i: (0, i),
+            pl.BlockSpec((seg, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((48, p_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -545,23 +553,23 @@ def regen_bwd(cam13, table48, state, idx, d_out, *, use_sky: bool,
         out_specs=[
             pl.BlockSpec((24, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            # d_table is revisited by every grid step (accumulation) — the
-            # sequential grid below makes the revisits well-defined
+            # d_table / d_cam are revisited by every grid step
+            # (accumulation) — the sequential grid makes that well-defined
             pl.BlockSpec((16, p_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, block_r), lambda i: (0, i),
+            pl.BlockSpec((16, block_r), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
             jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
-            jax.ShapeDtypeStruct((6, r_tot), jnp.float32),
+            jax.ShapeDtypeStruct((16, block_r), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((seg * 24, block_r), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(cam13, state, idx.reshape(1, r_tot), table48, d_out)
-    return d_state, d_table, d_regen
+    )(cam13, cam16, chk, recs, table48, d_out)
 
 
 def _cam13(camera, s_end):
@@ -660,7 +668,7 @@ def make_trace_regen(width: int, height: int):
 @functools.lru_cache(maxsize=None)
 def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                      spp: int, block_r: int = BLOCK_R,
-                     exact_argmin: bool = False, seg: int = 32):
+                     exact_argmin: bool = False, seg: int = 16):
     """Differentiable persistent-wavefront trace: (scene, camera, pixel, s0)
     -> (color_sum [R,3], rays_cast [] u32), with a custom VJP.
 
@@ -668,22 +676,26 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
     call pays nothing extra). Under differentiation the forward instead
     records, per step, the [R] i16 winner record (regen analogue of
     bounce_step's save_hits residual) plus a [24,R] state CHECKPOINT every
-    `seg` steps; the backward walks segments in reverse — replaying `seg`
-    states from the checkpoint with the search-free `regen_replay` kernel,
-    then sweeping them backwards through `regen_bwd` (in-kernel vjp of the
-    shade+regen chain). Scene cotangents accumulate on the winner table
-    ([16,P], MXU scatter) and flow out through prim_table's vjp; camera
-    cotangents flow through the XLA raygen vjp — once for the sample-s0
-    rays of the initial state, and once per step for the lanes that
-    regenerated (d_regen from the kernel), which is exact because the
-    in-kernel raygen replays ops/raygen.camera_rays bit-for-bit.
+    `seg` steps; the backward walks segments in reverse, ONE
+    `regen_seg_bwd` kernel per segment: a search-free forward replay of
+    the segment into VMEM scratch (states never touch HBM), then a
+    reverse sweep through the in-kernel jax.vjp of the shade+regen chain.
+    Scene cotangents accumulate on the winner table ([16,P], MXU scatter)
+    and flow out through prim_table's vjp; camera cotangents of the
+    REGENERATED rays accumulate in-kernel as per-lane rows against the
+    broadcast camera basis (exact: the kernel re-expresses the same
+    raygen ops), and the sample-s0 rays of the initial state route
+    through the XLA raygen vjp once.
 
     Residual budget per trace: k_max*R i16 records + ceil(k_max/seg)
     [24,R] f32 checkpoints; the backward's transient is one seg-deep
-    replayed state stack. Steps past the forward's termination point are
-    all-dead and replay/bwd skip them as identities, so the reverse sweep
-    does the same live work the forward did — the occupancy win carries
-    to the whole fwd+bwd step.
+    VMEM state stack per ray block. Steps past the forward's termination
+    point are all-dead and the segment kernel skips them as identities,
+    so the reverse sweep does the same live work the forward did — the
+    occupancy win carries to the whole fwd+bwd step. seg=16 measured
+    best on TPU (2026-08-19: 83.7M vs 83.5M seg=32, 81.9M seg=64 rays/s
+    at the 1080p64 headline — longer segments waste tail steps past
+    t_final).
     """
     from tpu_ray.kernels.bounce_step import prim_table, table_chunks
     from tpu_ray.ops.raygen import camera_rays
@@ -753,65 +765,38 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
         t48 = table_chunks(table)
         s_end = jnp.asarray(s0, jnp.float32) + jnp.float32(spp)
         cam13 = _cam13(camera, s_end)
-        pix_pad = jnp.zeros((r_pad,), jnp.int32).at[:r].set(pixel)
+
+        # differentiable camera rows (the kernel's cam_b operand): the 12
+        # _cam13 basis values broadcast across one ray block
+        def rows_fn(cam):
+            cam_x, cam_y, _, film_center = cam.basis()
+            return jnp.concatenate([cam.position, film_center, cam_x,
+                                    cam_y, jnp.zeros(4, jnp.float32)])
+
+        rows16, rows_vjp = jax.vjp(rows_fn, camera)
+        cam16 = jnp.broadcast_to(rows16.reshape(16, 1), (16, block_r))
 
         d_st = jnp.zeros((24, r_pad), jnp.float32)
         d_st = d_st.at[16:19, :r].set(d_color.T)
-        d_cam0 = jax.tree.map(jnp.zeros_like, camera)
-
-        def cam_ct(st_in, idx_t, d_rg, d_cam):
-            # cotangent of this step's REGENERATED rays through the XLA
-            # raygen (bit-identical twin of the in-kernel _regen_rays);
-            # d_rg is already has_more-masked by the kernel, so dead and
-            # padding lanes contribute exactly zero
-            live = idx_t >= 0
-            alive = st_in[12, :] > 0.5
-            cont = live & (st_in[15, :] + 1.0 < jnp.float32(max_bounces))
-            finished = alive & jnp.logical_not(cont)
-            s_next = st_in[14, :] + jnp.where(finished, 1.0, 0.0)
-
-            def rg(cam):
-                o, d, _ = camera_rays(cam, width, height, pix_pad,
-                                      s_next.astype(jnp.uint32), seed)
-                return o, d
-
-            _, vjp_fn = jax.vjp(rg, camera)
-            (dc,) = vjp_fn((d_rg[0:3, :].T, d_rg[3:6, :].T))
-            return jax.tree.map(jnp.add, d_cam, dc)
 
         def seg_body(carry):
-            sidx, d_st, d_tab, d_cam = carry
+            sidx, d_st, d_tab, d_cr = carry
             st_seg = jax.lax.dynamic_index_in_dim(cb, sidx, 0,
                                                   keepdims=False)
             idxs = jax.lax.dynamic_slice(
                 ib, (sidx * seg, 0), (seg, r_pad)).astype(jnp.int32)
-
-            def rbody(st, idx_t):
-                st2 = regen_replay(cam13, t48, st, idx_t, use_sky=use_sky,
-                                   max_bounces=max_bounces, width=width,
-                                   height=height, m_pad=m_pad,
-                                   block_r=block_r)
-                return st2, st
-
-            _, states = jax.lax.scan(rbody, st_seg, idxs)
-
-            def bbody(carry2, xs):
-                d_st, d_tab, d_cam = carry2
-                idx_t, st_in = xs
-                d_in, d_t, d_rg = regen_bwd(
-                    cam13, t48, st_in, idx_t, d_st, use_sky=use_sky,
-                    max_bounces=max_bounces, m_pad=m_pad, block_r=block_r)
-                d_cam = cam_ct(st_in, idx_t, d_rg, d_cam)
-                return (d_in, d_tab + d_t, d_cam), None
-
-            (d_st, d_tab, d_cam), _ = jax.lax.scan(
-                bbody, (d_st, d_tab, d_cam), (idxs, states), reverse=True)
-            return sidx - 1, d_st, d_tab, d_cam
+            d_st, d_t, d_c = regen_seg_bwd(
+                cam13, cam16, t48, st_seg, idxs, d_st, seg=seg,
+                use_sky=use_sky, max_bounces=max_bounces, width=width,
+                height=height, m_pad=m_pad, block_r=block_r)
+            return sidx - 1, d_st, d_tab + d_t, d_cr + d_c
 
         last_seg = jnp.maximum(t_final - 1, 0) // seg
-        _, d_st0, d_table, d_cam = jax.lax.while_loop(
+        _, d_st0, d_table, d_camrows = jax.lax.while_loop(
             lambda c: c[0] >= 0, seg_body,
-            (last_seg, d_st, jnp.zeros_like(table), d_cam0))
+            (last_seg, d_st, jnp.zeros_like(table),
+             jnp.zeros((16, block_r), jnp.float32)))
+        (d_cam,) = rows_vjp(jnp.sum(d_camrows, axis=1))
 
         # sample-s0 rays of the initial state came from the XLA raygen
         def rg0(cam):

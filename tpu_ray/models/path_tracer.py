@@ -264,6 +264,12 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
         # occupancy-waste fix. make_regen_trace carries a custom VJP whose
         # PRIMAL is the plain forward while-loop (a forward-only call pays
         # nothing extra), so this one route serves render AND gradients.
+        # (Measured dead end, 2026-08-19 r3: pilot-sorted lane assignment —
+        # sort pixels by a 1-sample path-length pilot so blocks hold
+        # similar-length lanes. Live-block steps only drop ~8% (tile-major
+        # order already groups path lengths; the block max is within-pixel
+        # sample variance, not pixel mix) while the pilot+gathers cost ~6%:
+        # TPU fwd 167.2M -> 156.8M. Reverted.)
         from tpu_ray.kernels.regen import make_regen_trace
         run = make_regen_trace(width, height, seed, max_bounces, spp,
                                exact_argmin=exact_argmin)
