@@ -432,13 +432,11 @@ def _tile_roots(st, stab_ref, block_n: int):
     return t - F32_EPS
 
 
-def _tile_tri_t(st, tri_ref, block_m: int):
-    """Shifted Möller-Trumbore valid-t for ONE triangle tile, [bm,BR]
-    (t - eps where valid, F32_MAX otherwise — F32_MAX orders as the miss
-    sentinel in both carry modes). One K-stacked DEFAULT matmul computes
-    det / t*det / u*det / v*det row-stacked against the ray monomials
-    [o, d, o (x) d, 1] (kernels/tri_intersect._tri_t, same math)."""
-    from tpu_ray.ops.intersect_tri import _DET_EPS
+def _tri_bk(st):
+    """The [96,BR] K-stacked bf16-split ray-monomial matrix of the MT
+    matmul — depends only on the ray block, so the list kernel hoists it
+    out of its per-tile loop (the streamed kernel recomputes per grid
+    step; there is no loop to hoist from)."""
     o = st[0:3, :]
     d = st[3:6, :]
     w = [o[j:j + 1, :] * d[k:k + 1, :] for j in range(3) for k in range(3)]
@@ -446,7 +444,18 @@ def _tile_tri_t(st, tri_ref, block_m: int):
     feats = jnp.concatenate([o, d, *w, one], axis=0)       # [16,BR]
     b1, b2, b3 = _split3_bf16(
         feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
-    bk = jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [96,BR]
+    return jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [96,BR]
+
+
+def _tile_tri_t(st, tri_ref, block_m: int, bk=None):
+    """Shifted Möller-Trumbore valid-t for ONE triangle tile, [bm,BR]
+    (t - eps where valid, F32_MAX otherwise — F32_MAX orders as the miss
+    sentinel in both carry modes). One K-stacked DEFAULT matmul computes
+    det / t*det / u*det / v*det row-stacked against the ray monomials
+    [o, d, o (x) d, 1] (kernels/tri_intersect._tri_t, same math)."""
+    from tpu_ray.ops.intersect_tri import _DET_EPS
+    if bk is None:
+        bk = _tri_bk(st)
     tpq = jnp.dot(tri_ref[:], bk, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.DEFAULT)     # [4bm,BR]
     det = tpq[0:block_m, :]
@@ -462,6 +471,16 @@ def _tile_tri_t(st, tri_ref, block_m: int):
     valid = ((absdet > _DET_EPS) & (us >= 0.0) & (vs >= 0.0)
              & (us + vs <= absdet) & (t > F32_EPS))
     return jnp.where(valid, t - F32_EPS, F32_MAX)
+
+
+# (Measured dead ends, r3, both bit-identical and both TPU losses:
+#  per-tile @pl.when AABB gating of the streamed tri sweep — 128-lane
+#  chunked 1.87x SLOWER, whole-block 1.08x slower; the always-true vs
+#  always-false gate bracket ran at IDENTICAL speed, i.e. skipping the
+#  guarded MT compute saved nothing because the per-tile cond breaks
+#  Mosaic's grid-step pipelining and the streamed tile DMA happens either
+#  way. Per-ray reachability pays only without per-tile conds — see
+#  bounce_fwd_list: resident table + per-block compacted tile lists.)
 
 
 def _pack_bits(p_pad: int):
@@ -871,6 +890,21 @@ def tri_tile_bounds(tris, block_m: int = TRI_BLOCK_M):
             hi.reshape(n_t, block_m, 3).max(axis=1))
 
 
+def tri_tile_boxes(tris, block_m: int = TRI_BLOCK_M):
+    """Inflated tri-tile AABBs as ONE [T, 6] f32 table (lo.xyz, hi.xyz)
+    for the in-kernel chunk gate (_chunk_slab_any). The 1e-4 relative
+    inflation makes the kernel's 6-divide slab test conservatively safe
+    against f32 rounding; empty boxes of all-padding tiles (lo > hi) are
+    left empty so every chunk gates them off."""
+    lo, hi = tri_tile_bounds(tris, block_m)
+    span = jnp.maximum(hi - lo, 0.0)
+    pad = 1e-4 * (span + jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1e-6)
+    nonempty = lo[:, 0:1] <= hi[:, 0:1]
+    lo = jnp.where(nonempty, lo - pad, lo)
+    hi = jnp.where(nonempty, hi + pad, hi)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
 def ray_block_bounds(state, block_r: int):
     """Alive-masked per-ray-block component bounds of origin/direction.
 
@@ -1106,6 +1140,264 @@ def bounce_fwd(table48, stab, state, bounce, mask=None, tri_tab=None, *,
     return out, idx[0]
 
 
+def _fwd_list_kernel(b_ref, cnt_ref, lst_ref, state_ref, stab_ref,
+                     tri_ref, table_ref, out_ref, idx_ref, *, n_pad: int,
+                     m_pad: int, p_pad: int, block_n: int, block_m: int,
+                     use_sky: bool, pack: bool, group: int):
+    """One full bounce for ONE ray block: static sphere-tile folds, then a
+    dynamic-trip fori_loop over THIS block's compacted reachable-tri-tile
+    list (tri_block_lists) slicing the RESIDENT tri table; shade inline.
+    See bounce_fwd_list."""
+    n_tiles_s = n_pad // block_n if n_pad else 0
+    n_tiles_t = m_pad // block_m
+    low_mask, miss_s = _pack_bits(p_pad)
+    i = pl.program_id(0) // group          # list-group row of this block
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    @pl.when(block_alive)
+    def _():
+        st = state_ref[:]
+        alive = st[12:13, :] > 0.5
+        cnt = cnt_ref[i, 0]
+        br = st.shape[1]
+
+        def tri_rows(k):
+            tile = lst_ref[i, jnp.minimum(k, n_tiles_t - 1)]
+            return (tri_ref[pl.ds(tile * (4 * block_m), 4 * block_m), :],
+                    n_pad + tile * block_m)
+
+        bk = _tri_bk(st)        # hoisted out of the per-tile loop
+
+        # (Early exit via a front-to-back sort + per-iteration carry-max
+        # test was measured SLOWER on TPU — 1.91 vs 1.66 s/step on config
+        # 4 — the vector reduce + scalar roundtrip per iteration costs
+        # more than the tail tiles it skips. Removed; the list is plain
+        # reachability order.)
+        if pack:
+            carry = jnp.full((1, br), miss_s, jnp.int32)
+            for js in range(n_tiles_s):
+                stab_js = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
+                tb = _tile_roots(st, stab_js, block_n)
+                carry = jnp.minimum(
+                    carry, jnp.min(_pack_tile(tb, js * block_n, low_mask),
+                                   axis=0, keepdims=True))
+
+            def w_body(k, carry):
+                rows, row0 = tri_rows(k)
+                tb = _tile_tri_t(st, rows, block_m, bk)
+                return jnp.minimum(
+                    carry, jnp.min(_pack_tile(tb, row0, low_mask),
+                                   axis=0, keepdims=True))
+
+            carry = jax.lax.fori_loop(0, cnt, w_body, carry)
+            idx, hit = _unpack(carry, low_mask, miss_s)
+        else:
+            tmin = jnp.full((1, br), F32_MAX, jnp.float32)
+            idxc = jnp.zeros((1, br), jnp.int32)
+            for js in range(n_tiles_s):
+                stab_js = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
+                tb = _tile_roots(st, stab_js, block_n)
+                tm, ic = _exact_tile(tb, js * block_n, shift_valid=True)
+                better = tm < tmin
+                idxc = jnp.where(better, ic, idxc)
+                tmin = jnp.where(better, tm, tmin)
+
+            def w_body(k, c):
+                tmin, idxc = c
+                rows, row0 = tri_rows(k)
+                tb = _tile_tri_t(st, rows, block_m, bk)
+                tm, ic = _exact_tile(tb, row0, shift_valid=False)
+                # strict < + ascending-tile-id list order = the streamed
+                # sweep's tie rule (first tile wins)
+                better = tm < tmin
+                idxc = jnp.where(better, ic, idxc)
+                tmin = jnp.where(better, tm, tmin)
+                return tmin, idxc
+
+            tmin, idxc = jax.lax.fori_loop(0, cnt, w_body, (tmin, idxc))
+            idx = idxc
+            hit = tmin < F32_MAX
+
+        winner, _ = _gather_winner(table_ref, idx, p_pad)
+        live = alive & hit
+        sky_mask = alive & jnp.logical_not(hit)
+        is_tri = idx >= n_pad
+        rand = _rand_draws(st, b_ref)
+        out_ref[:] = _shade(st, winner, live, sky_mask, rand, use_sky,
+                            is_tri)
+        idx_ref[:] = jnp.where(live, idx, jnp.int32(-1))
+
+
+_LIST_SMEM_TARGET = 128 * 1024
+
+
+def list_group(n_blocks: int, n_tiles_t: int) -> int:
+    """Ray-block group size G for tri_block_lists: one list per G
+    consecutive ray blocks, sized so the [B/G, T] i32 SMEM word table
+    stays under ~128 KB (v5e SMEM is 1 MB/core and Mosaic double-buffers;
+    the ungrouped 1080p table was 656 KB and failed to compile). Grouping
+    only coarsens the reachability OR / entry MIN — output-invariant."""
+    g = -(-(n_blocks * n_tiles_t * 4) // _LIST_SMEM_TARGET)
+    return min(max(1, g), n_blocks)
+
+
+def tri_block_lists(boxes, state, block_r: int, group: int = 1):
+    """Per-(ray-block group) compacted reachable-tri-tile lists.
+
+    The per-RAY reachability the host-side interval masks cannot express:
+    after one diffuse bounce a block's o/d component intervals decorrelate
+    and cull_mask degenerates to all-1, but each lane still has one exact
+    origin/direction whose slab test against a tile AABB is sharp
+    (measured pass rate on trimesh: interval mask ~1.0, per-block any-lane
+    slab 0.61). boxes [T,6] = tri_tile_boxes (inflated: conservative
+    against f32 rounding + the MT accept band), state [16,R], group =
+    list_group (G consecutive ray blocks OR their reachability into one
+    list row to bound the SMEM table).
+
+    -> (cnt [B/G,1] i32: reachable-tile count; lst [B/G,T] i32: reachable
+    tile ids first, ASCENDING id — the same fold order and exact-mode tie
+    rule as the streamed sweep). Conservativeness: any geometrically real
+    nearest hit lies on a tile primitive inside the inflated AABB, so its
+    tile is in every reaching lane's list and skipping the rest cannot
+    change any winner. The residual divergence class vs the full sweep is
+    Möller-Trumbore ACCEPTANCE FUZZ at grazing determinants (|det| near
+    _DET_EPS): the kernel can accept a "hit" whose computed t places it
+    far outside the triangle (and its box), which the full sweep folds
+    but the list skips — measured on TPU at 1920x1080 trimesh: 1 pixel
+    in 2.07M differs (interpret-mode CPU runs are bit-identical)."""
+    T = boxes.shape[0]
+    b = state.shape[1] // block_r
+    sv = state.reshape(16, b, block_r)
+    alive = sv[12] > 0.5                               # [B,br]
+    big = jnp.float32(3.0e38)
+    lo = boxes[:, 0:3]                                 # [T,3]
+    hi = boxes[:, 3:6]
+    tl = jnp.zeros((b, block_r, T), jnp.float32)
+    th = jnp.full((b, block_r, T), big)
+    for k in range(3):
+        o = sv[k][:, :, None]                          # [B,br,1]
+        d = sv[3 + k][:, :, None]
+        lok = lo[None, None, :, k]                     # [1,1,T]
+        hik = hi[None, None, :, k]
+        dz = d == 0.0
+        inv = 1.0 / jnp.where(dz, 1.0, d)
+        a0 = (lok - o) * inv
+        a1 = (hik - o) * inv
+        inside = (o >= lok) & (o <= hik)
+        tl = jnp.maximum(tl, jnp.where(
+            dz, jnp.where(inside, -big, big), jnp.minimum(a0, a1)))
+        th = jnp.minimum(th, jnp.where(
+            dz, jnp.where(inside, big, -big), jnp.maximum(a0, a1)))
+    feasible = alive[:, :, None] & (th >= tl) & (th >= 0.0)
+    reach = jnp.any(feasible, axis=1)                  # [B,T]
+    if group > 1:
+        pad = (-b) % group
+        if pad:
+            reach = jnp.concatenate(
+                [reach, jnp.zeros((pad, T), bool)], axis=0)
+        reach = reach.reshape(-1, group, T).any(axis=1)
+    cnt = jnp.sum(reach, axis=1).astype(jnp.int32)[:, None]
+    # stable argsort of (not reach): reachable tiles first, ascending id
+    lst = jnp.argsort(jnp.logical_not(reach), axis=1).astype(jnp.int32)
+    return cnt, lst
+
+
+_RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def resident_tables_fit(n_pad: int, m_pad: int) -> bool:
+    """Can bounce_fwd_list pin every search table in VMEM? (bf16 bytes:
+    tri [4M,96] + sphere [2N,54] + payload [48,P], ~16 MB/core total
+    VMEM, ~10 MB budget leaves room for state/carry/outputs.)"""
+    p_pad = n_pad + m_pad
+    return (n_pad <= _SPH_TILE_MAX and m_pad > 0 and
+            (4 * m_pad * 96 + 2 * n_pad * 54 + 48 * p_pad) * 2
+            < _RESIDENT_VMEM_BUDGET)
+
+
+def bounce_fwd_list(table48, stab, state, bounce, tri_tab, lists, *,
+                    use_sky: bool, block_r: int = BLOCK_R,
+                    exact_argmin: bool = False, group: int = 1):
+    """One fused forward bounce with the triangle sweep driven by
+    per-ray-block compacted tile LISTS over a VMEM-RESIDENT tri table —
+    the TPU shape of a BVH traversal step (one level, exact per-lane
+    reachability), replacing the (ray block x tri tile) grid stream of
+    bounce_fwd for triangle scenes that fit (resident_tables_fit).
+
+    Why this shape (all r3 TPU measurements, BASELINE.md): the streamed
+    grid re-DMAs every tri tile for every ray block and per-tile @pl.when
+    gating makes it SLOWER (the cond breaks Mosaic's step pipelining;
+    skipping the guarded compute saved ~nothing in an always-true vs
+    always-false gate bracket). Here the grid is (ray blocks,) only: the
+    tri table DMA's ONCE (constant index map), the per-block while_loop
+    runs exactly cnt_b tile folds (pass rate 0.61 on trimesh) with NO
+    per-tile cond, and the front-to-back sort + packed-space early exit
+    ends the sweep at the first tile that cannot beat any alive lane's
+    carry. Bit-identical to bounce_fwd (same folds, order-invariant min;
+    skipped tiles provably cannot win — tri_block_lists docstring).
+
+    stab: search_table at block_n = min(n_pad, _SPH_TILE_MAX) (resident).
+    lists: (cnt [B/G,1] i32, lst [B/G,T] i32) from tri_block_lists at
+    group=G (SMEM is 1 MB/core; list_group sizes the table under it).
+    -> (new state [16,R], winner idx [R] i32)."""
+    p_pad, r_tot = _check_shapes(table48, state, block_r)
+    m_pad = tri_tab.shape[0] // 4
+    n_pad = p_pad - m_pad
+    block_m = _TRI_TILE
+    n_tiles_t = m_pad // block_m
+    block_n = min(n_pad, _SPH_TILE_MAX)
+    assert n_pad % block_n == 0, (n_pad, block_n)
+    pack = _use_pack(p_pad, exact_argmin)
+    cnt, lst = lists
+    n_blocks = r_tot // block_r
+    n_groups = -(-n_blocks // group)
+    assert cnt.shape == (n_groups, 1), (cnt.shape, n_groups)
+    assert lst.shape == (n_groups, n_tiles_t), (lst.shape, n_tiles_t)
+    assert lst.dtype == jnp.int32, lst.dtype
+
+    out, idx = pl.pallas_call(
+        functools.partial(_fwd_list_kernel, n_pad=n_pad, m_pad=m_pad,
+                          p_pad=p_pad, block_n=block_n, block_m=block_m,
+                          use_sky=use_sky, pack=pack, group=group),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_groups, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_groups, n_tiles_t), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * m_pad, 96), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, r_tot), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_tot), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(_smem_bounce(bounce), cnt, lst, state, stab, tri_tab, table48)
+    return out, idx[0]
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "use_sky", "block_r"))
 def bounce_replay(table48, state, idx, bounce, *, use_sky: bool,
                   block_r: int = BLOCK_R, n_pad: int | None = None):
@@ -1204,6 +1496,7 @@ def _fused_tables(scene: Scene, block_n_cull: int = BLOCK_N,
     t48 = table_chunks(prim_table(scene))
     n_pad = scene.n_pad
     out = dict(t48=t48, n_pad=n_pad, m_pad=0, tri_full=None, tri_tiled=None,
+               tri_boxes=None,
                stab_full=search_table(scene, min(n_pad, _SPH_TILE_MAX)),
                stab_tiled=search_table(scene, block_n_cull))
     if scene.tris is not None:
@@ -1214,14 +1507,16 @@ def _fused_tables(scene: Scene, block_n_cull: int = BLOCK_N,
         tri = tri_search_tables(scene.tris, _TRI_TILE)
         assert tri.shape[0] == 4 * m_pad, (tri.shape, m_pad)
         assert t48.shape[1] == n_pad + m_pad
-        out.update(m_pad=m_pad, tri_full=tri, tri_tiled=tri)
+        out.update(m_pad=m_pad, tri_full=tri, tri_tiled=tri,
+                   tri_boxes=jax.lax.stop_gradient(
+                       tri_tile_boxes(scene.tris, _TRI_TILE)))
     return out
 
 
 def trace_rays_fused(scene: Scene, origins, directions, stream_base,
                      max_bounces: int, block_r: int = BLOCK_R,
                      exact_argmin: bool = False, cull: bool = True,
-                     cull_secondary: bool = False):
+                     cull_secondary: bool = False, tri_list: bool = True):
     """Forward-only fused trace: drop-in for trace_rays (path shading),
     spheres AND triangle soups.
 
@@ -1244,9 +1539,21 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     if cull:
         scene = permute_scene(scene)
     tb = _fused_tables(scene)
+    use_list = (tri_list and tb["m_pad"] > 0
+                and resident_tables_fit(tb["n_pad"], tb["m_pad"]))
     st, r, r_pad = _init_state(origins, directions, stream_base, block_r)
     rays = jnp.zeros((r_pad,), jnp.uint32)
-    b_start = 1 if (cull and max_bounces > 0) else 0
+    b_start = 1 if (cull and max_bounces > 0 and not use_list) else 0
+
+    grp = list_group(r_pad // block_r, tb["m_pad"] // _TRI_TILE) \
+        if use_list else 1
+
+    def bounce_list(st, b):
+        lists = tri_block_lists(tb["tri_boxes"], st, block_r, grp)
+        return bounce_fwd_list(tb["t48"], tb["stab_full"], st, b,
+                               tb["tri_full"], lists,
+                               use_sky=scene.use_sky, block_r=block_r,
+                               exact_argmin=exact_argmin, group=grp)
 
     if b_start:
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
@@ -1258,7 +1565,9 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     def bounce(carry, b):
         st, rays = carry
         rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-        if cull and cull_secondary:
+        if use_list:
+            st, _ = bounce_list(st, b)
+        elif cull and cull_secondary:
             mask = bounce_cull_mask_octant(scene, st, block_r)
             st, _ = bounce_fwd(tb["t48"], tb["stab_tiled"], st, b, mask,
                                tb["tri_tiled"], use_sky=scene.use_sky,
@@ -1278,7 +1587,7 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
 @functools.lru_cache(maxsize=None)
 def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
                       block_r: int = BLOCK_R, exact_argmin: bool = False,
-                      cull_secondary: bool = False):
+                      cull_secondary: bool = False, tri_list: bool = True):
     """Differentiable fused sample: (scene, camera, pixel, s)
     -> (color_sum [R,3], rays_cast [R] u32), with a custom VJP.
 
@@ -1297,11 +1606,23 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         o, d, base = camera_rays(camera, width, height, pixel, s, seed)
         scene = permute_scene(scene)
         tb = _fused_tables(scene)
+        use_list = (tri_list and tb["m_pad"] > 0
+                    and resident_tables_fit(tb["n_pad"], tb["m_pad"]))
         assert tb["n_pad"] + tb["m_pad"] < 2 ** 15, (
             "saved hit records are i16", tb["n_pad"], tb["m_pad"])
         st, r, r_pad = _init_state(o, d, base, block_r)
         rays = jnp.zeros((r_pad,), jnp.uint32)
-        b_start = 1 if max_bounces > 0 else 0
+        b_start = 1 if (max_bounces > 0 and not use_list) else 0
+
+        grp = list_group(r_pad // block_r, tb["m_pad"] // _TRI_TILE) \
+            if use_list else 1
+
+        def bounce_list(st, b):
+            lists = tri_block_lists(tb["tri_boxes"], st, block_r, grp)
+            return bounce_fwd_list(tb["t48"], tb["stab_full"], st, b,
+                                   tb["tri_full"], lists,
+                                   use_sky=scene.use_sky, block_r=block_r,
+                                   exact_argmin=exact_argmin, group=grp)
 
         idx0 = []
         if b_start:
@@ -1319,7 +1640,9 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         def body(carry, b):
             st, rays = carry
             rays = rays + (st[12, :] > 0.5).astype(jnp.uint32)
-            if cull_secondary:
+            if use_list:
+                st, idx = bounce_list(st, b)
+            elif cull_secondary:
                 mask = bounce_cull_mask_octant(scene, st, block_r)
                 st, idx = bounce_fwd(
                     tb["t48"], tb["stab_tiled"], st, b, mask,
@@ -1381,12 +1704,22 @@ def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
         d_st = jnp.zeros((16, r_pad), jnp.float32)
         d_st = d_st.at[9:12, :r].set(d_color.T)
 
+        # Large soups: the bwd kernel's one-hot gather/scatter tiles are
+        # [_GATHER_TILE, block_r] bf16 x ceil(P/_GATHER_TILE) unrolled
+        # iterations, and Mosaic does not reuse their stack slots across
+        # the gather AND scatter of one kernel — at p_pad ~10k and
+        # block_r 1024 that is a 22.8 MB scoped-vmem OOM (measured,
+        # config 4 at 1080p). A narrower ray block shrinks every one-hot
+        # proportionally; the bwd grid just takes 4x more steps.
+        block_r_bwd = block_r if t48.shape[1] <= 4096 \
+            else min(block_r, 256)
+
         def bbody(carry, binfo):
             d_st, d_table = carry
             b, idx, st_in = binfo
             d_in, d_tab = bounce_bwd(t48, st_in, idx, b, d_st,
-                                     use_sky=scene.use_sky, block_r=block_r,
-                                     n_pad=n_pad)
+                                     use_sky=scene.use_sky,
+                                     block_r=block_r_bwd, n_pad=n_pad)
             return (d_in, d_table + d_tab), None
 
         (d_st0, d_table), _ = jax.lax.scan(
