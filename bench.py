@@ -138,7 +138,8 @@ def main():
     ap.add_argument("--chip", default="v5e")
     ap.add_argument("--cull-secondary", action="store_true",
                     help="fused backend: octant-split tile culling on "
-                         "secondary bounces (bit-identical A/B knob)")
+                         "secondary bounces (bit-identical A/B knob; every "
+                         "TPU measurement is a LOSS — see BASELINE.md)")
     ap.add_argument("--regen", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="fused backend: persistent-wavefront sample "

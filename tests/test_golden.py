@@ -1,11 +1,15 @@
 """Golden-image regression guards (SURVEY.md §4: golden hashes per scene).
 
-Goldens are jnp-backend renders at tiny resolution frozen as npz — a pure
-DRIFT guard: any change to scenes, RNG, raygen, trace, or shading that
-alters output fails here. Oracle anchoring (jnp vs the NumPy/C++ reference
-re-execution) is a separate, stronger property covered by
-tests/test_forward_parity.py; a regenerated golden is therefore only as
-correct as the parity suite that gates it. Regenerate with:
+Goldens are tiny-resolution renders frozen as npz — a pure DRIFT guard: any
+change to scenes, RNG, raygen, trace, or shading that alters output fails
+here. Round 3 extends them beyond the jnp backend to the FAST backends
+under --exact-argmin (bit-stable winner selection by construction), the
+standing A/B oracle the reference keeps live as its EnableSIMD toggle
+(/root/reference/main.cpp:853): fused (spheres + the trimesh list-sweep
+search) and fused+regen (persistent wavefront). Oracle anchoring (jnp vs
+the NumPy/C++ reference re-execution) is a separate, stronger property
+covered by tests/test_forward_parity.py; a regenerated golden is therefore
+only as correct as the parity suite that gates it. Regenerate with:
 python -m tests.test_golden regen
 """
 import os
@@ -21,34 +25,69 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 SCENES = ["rgb", "randomized", "rtweekend"]
 W, H = 32, 24
 
+# (tag, scene list, render_pass kwargs). exact_argmin makes the fused
+# winner selection bit-stable, so these renders are as deterministic as
+# the jnp ones (interpret-mode kernels on the CPU test platform).
+BACKENDS = [
+    ("jnp", SCENES, {}),
+    ("fused-exact", SCENES + ["trimesh"],
+     dict(backend="fused", exact_argmin=True)),
+    ("regen-exact", ["rtweekend"],
+     dict(backend="fused", exact_argmin=True, regen=True)),
+]
+CASES = [(tag, name, kw) for tag, names, kw in BACKENDS for name in names]
 
-def _render(name):
+
+def _render(name, **kw):
     scene = make_scene(name)
     cam = default_camera(scene)
     img, rays = render_pass(scene, cam, width=W, height=H, spp=1,
-                            sample_start=0, seed=0)
+                            sample_start=0, seed=0, **kw)
     return np.asarray(img), int(rays)
+
+
+def _path(tag, name):
+    # round-2 jnp goldens keep their original file names
+    stem = name if tag == "jnp" else f"{name}-{tag}"
+    return os.path.join(GOLDEN_DIR, f"{stem}.npz")
 
 
 def _regen():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in SCENES:
-        img, rays = _render(name)
-        np.savez_compressed(os.path.join(GOLDEN_DIR, f"{name}.npz"),
-                            image=img, rays=rays)
-        print(f"golden {name}: rays={rays}")
+    for tag, name, kw in CASES:
+        img, rays = _render(name, **kw)
+        np.savez_compressed(_path(tag, name), image=img, rays=rays)
+        print(f"golden {name} [{tag}]: rays={rays}")
 
 
-@pytest.mark.parametrize("name", SCENES)
-def test_golden(name):
-    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+@pytest.mark.parametrize("tag,name,kw", CASES,
+                         ids=[f"{t}-{n}" for t, n, _ in CASES])
+def test_golden(tag, name, kw):
+    path = _path(tag, name)
     if not os.path.exists(path):
         pytest.skip("goldens not generated")
     z = np.load(path)
-    img, rays = _render(name)
+    img, rays = _render(name, **kw)
     assert rays == int(z["rays"]), (rays, int(z["rays"]))
     np.testing.assert_allclose(img, z["image"], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("name", ["rtweekend", "trimesh"])
+def test_exact_fused_max_error_vs_jnp(name):
+    """MAX-error (not statistical) bound on the certification path: with
+    exact_argmin the fused winners are identical to jnp's, so the whole
+    residual is shading/search arithmetic (bf16x6 K-stacked matmuls vs
+    XLA f32 chains) — small and bounded, with no winner-flip tail."""
+    a, ra = _render(name, backend="fused", exact_argmin=True)
+    b, rb = _render(name)
+    assert ra == rb
+    assert np.max(np.abs(a - b)) < 2e-3, np.max(np.abs(a - b))
+
+
 if __name__ == "__main__" and "regen" in sys.argv:
+    # goldens must be generated on the platform the test suite runs on
+    # (conftest forces CPU; real-MXU bf16 rounding differs from the CPU
+    # emulation, so TPU-generated goldens would not reproduce)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     _regen()

@@ -37,8 +37,10 @@ def _add_common(ap: argparse.ArgumentParser):
                          "selection (certification mode; slightly slower)")
     ap.add_argument("--cull-secondary", action="store_true",
                     help="fused backend: octant-split tile culling on "
-                         "secondary bounces (bit-identical; speedup is "
-                         "scene-dependent)")
+                         "secondary bounces (bit-identical DEBUG knob; "
+                         "every TPU measurement is a LOSS — 19%% slower "
+                         "on the sphere headline, a wash on meshes, "
+                         "BASELINE.md — kept for A/B measurement only)")
     ap.add_argument("--regen", action="store_true",
                     help="fused backend: persistent-wavefront sample "
                          "regeneration — all spp samples in one kernel "
