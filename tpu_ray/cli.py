@@ -157,19 +157,32 @@ def cmd_fit(args) -> int:
     ground truth before and after) so the demo shows actual per-parameter
     convergence, not just a falling loss curve.
 
-    Estimator note: hit SELECTION is discrete (stop-gradient through the
-    search, ops/intersect docstring), so geometry gradients flow only
-    through the continuous shading terms — the sky emission's direction
-    dependence and the payload recompute. On a sky-lit scene (rtweekend,
-    the default) centers/radii recover; on a closed no-sky scene (rgb)
-    their pathwise gradient is exactly zero and only materials fit."""
+    Estimator note (MEASURED, r3): hit SELECTION is discrete
+    (stop-gradient through the search, ops/intersect docstring), so the
+    pathwise gradient omits silhouette terms and is exact only on pixels
+    whose sample paths do not cross a discontinuity. Consequence, checked
+    directly against ground truth on rtweekend at 512^2: -grad points
+    toward the true parameters for 100%% of nonzero ALBEDO entries but
+    only 50%% (a coin flip) of CENTER/RADIUS entries — raw-MSE geometry
+    fitting is boundary-dominated and does not converge, while material
+    fitting does. The default demo therefore perturbs MATERIALS (albedo,
+    emissive where the scene has any); showcase result (512^2, 4 spp,
+    fused+regen, 200 steps): loss 8e-2 -> 1e-6, mean |d_albedo|
+    0.112 -> 0.028 (the residual is occluded spheres with no image
+    signal). --perturb-geom adds geometry jitter to demonstrate the
+    limitation; --fit-camera nudges and fits the camera position, which
+    recovers transversely but drifts along the ill-conditioned view axis
+    in a single-view fit (measured: d_camera grows while the loss falls).
+    A silhouette-aware estimator (edge sampling / warped-area
+    reparameterization) is the known fix for geometry and is on the
+    roadmap."""
     import dataclasses
     import numpy as np
     import jax
     import jax.numpy as jnp
     import optax
     from tpu_ray import default_camera, make_scene
-    from tpu_ray.grad import make_train_step, render_mean
+    from tpu_ray.grad import image_mse, make_train_step, render_mean
     from tpu_ray.ops.tonemap import linear_to_srgb, pack_rgba8
     from tpu_ray.utils import MetricsLogger, StepTimer, write_png
 
@@ -183,8 +196,14 @@ def cmd_fit(args) -> int:
               cull_secondary=args.cull_secondary,
               regen=args.regen and args.backend == "fused")
 
+    # Default (--target-spp 0): the target uses the SAME spp and RNG
+    # streams as training, so the Monte-Carlo noise cancels exactly and
+    # the loss is 0 at the true parameters — the deterministic-recovery
+    # setting (examples/04). A higher --target-spp gives a cleaner
+    # picture but a noise-mismatched residual whose gradient is nonzero
+    # at truth, which biases the fit (measured: geometry drifts AWAY).
     target = render_mean(scene, camera, sample_start=0, **{
-        **kw, "spp": max(args.spp, args.target_spp)})
+        **kw, "spp": args.target_spp or args.spp})
 
     # per-sphere perturbations, masked so radius-0 padding stays inert
     rng = np.random.default_rng(args.seed)
@@ -192,8 +211,14 @@ def cmd_fit(args) -> int:
     real = (np.asarray(scene.radius) > 0.0)
     r_scale = float(np.mean(np.asarray(scene.radius)[real])) if real.any() \
         else 1.0
-    jit_c = rng.normal(0.0, 0.15 * r_scale, (n, 3)).astype(np.float32)
-    jit_r = rng.uniform(0.85, 1.15, n).astype(np.float32)
+    # Geometry jitter defaults to 0: the discrete-hit estimator's
+    # center/radius gradients are boundary-dominated and measured
+    # direction-uncorrelated with truth (docstring above), so a geometry
+    # fit drifts; --perturb-geom > 0 demonstrates exactly that.
+    p = args.perturb_geom
+    jit_c = rng.normal(0.0, p * 0.05 * r_scale, (n, 3)).astype(np.float32)
+    jit_r = rng.uniform(1.0 - p * 0.05, 1.0 + p * 0.05, n).astype(
+        np.float32)
     jit_a = rng.uniform(0.6, 1.0, (n, 3)).astype(np.float32)
     m1 = real[:, None]
     perturbed = dataclasses.replace(
@@ -209,27 +234,92 @@ def cmd_fit(args) -> int:
         cam0 = dataclasses.replace(
             camera, position=camera.position + 0.05 * r_scale)
 
-    def recovery(s):
+    def recovery(s, cam=None):
         dc = np.abs(np.asarray(s.center - scene.center))[real].mean()
         dr = np.abs(np.asarray(s.radius - scene.radius))[real].mean()
         da = np.abs(np.asarray(s.albedo - scene.albedo))[real].mean()
-        return dict(d_center=float(dc), d_radius=float(dr),
-                    d_albedo=float(da))
+        out = dict(d_center=float(dc), d_radius=float(dr),
+                   d_albedo=float(da))
+        if fit_camera and cam is not None:
+            out["d_camera"] = float(np.abs(
+                np.asarray(cam.position - camera.position)).mean())
+        return out
 
+    # Optimizer scaling, both parts measured necessary (BASELINE.md r3):
+    # 1) Per-group learning rates. Adam's unit step is ~lr in PARAMETER
+    #    units; world geometry lives at WorldScale = 1/16 (mean real
+    #    radius r_scale ~0.013 on rtweekend) while albedo lives in [0,1]
+    #    — one flat lr either freezes materials or explodes geometry
+    #    (measured: lr=0.05 moved centers ~4 radii per step; every
+    #    backend diverged). Geometry+camera step at lr * r_scale.
+    # 2) Per-group Adam eps from the measured initial gradient RMS.
+    #    72-82%% of per-sphere parameters have |g| < 1e-8 (occluded or
+    #    out of frame), and with the default eps=1e-8 Adam normalizes
+    #    their noise to FULL-lr random walks — mean parameter error got
+    #    WORSE while the loss fell. eps = 1%% of the strong-gradient RMS
+    #    makes zero-signal parameters step ~0 while visible ones keep
+    #    Adam scaling. (The gradients themselves are verified correct:
+    #    -grad points toward truth for 100%% of nonzero albedo entries.)
+    # Optimize exactly the PERTURBED parameter groups and freeze the
+    # rest: free unperturbed groups do not stay at truth, they absorb the
+    # residual (measured: with albedo perturbed and emissive free, the
+    # loss fell 20x while albedo stayed wrong — emissive brightened the
+    # dark spheres instead; free at-truth geometry walks away on
+    # boundary-noise gradients).
+    def _group(path, _):
+        name = next((p.name for p in reversed(path)
+                     if hasattr(p, "name")), "")
+        if path and getattr(path[0], "key", None) == "camera":
+            # only the nudged field trains; free at-truth pose fields
+            # would absorb residual like unperturbed scene groups
+            return "cam" if name == "position" else "frozen"
+        if name in ("center", "radius"):
+            return "geom"
+        return {"albedo": "alb", "emissive": "emi"}.get(name, "frozen")
+
+    params0 = {"scene": perturbed, "camera": cam0}
+    labels = jax.tree_util.tree_map_with_path(_group, params0)
+    g0 = jax.grad(lambda p: image_mse(render_mean(
+        p["scene"], p["camera"], sample_start=0, **kw), target))(params0)
+
+    def _rms(group):
+        tot, cnt = 0.0, 0
+        for lab, g in zip(jax.tree_util.tree_leaves(labels),
+                          jax.tree_util.tree_leaves(g0)):
+            if lab == group:
+                tot += float(jnp.sum(jnp.square(g)))
+                cnt += g.size
+        return (tot / max(cnt, 1)) ** 0.5
+
+    lr_geom = args.lr * r_scale if args.perturb_geom > 0 else 0.0
+    has_emissive = bool(np.any(np.asarray(scene.emissive)[real] > 0.0))
+    opt = optax.multi_transform(
+        {"geom": optax.adam(lr_geom,
+                            eps=max(1e-2 * _rms("geom"), 1e-12)),
+         # nudge is 0.05*r_scale: lr a fifth of that so Adam closes it
+         # in ~10 steps instead of oscillating across it every step
+         "cam": optax.adam(0.01 * r_scale,
+                           eps=max(1e-2 * _rms("cam"), 1e-12)),
+         "alb": optax.adam(args.lr, eps=max(1e-2 * _rms("alb"), 1e-12)),
+         "emi": (optax.adam(args.lr,
+                            eps=max(1e-2 * _rms("emi"), 1e-12))
+                 if has_emissive else optax.set_to_zero()),
+         "frozen": optax.set_to_zero()},
+        labels)
     init_fn, step_fn = make_train_step(
-        mesh=mesh, optimizer=optax.adam(args.lr),
+        mesh=mesh, optimizer=opt,
         train_camera=fit_camera, fixed_samples=True, remat=True, **kw)
     state = init_fn(perturbed, cam0)
 
     log = MetricsLogger(path=args.metrics)
-    before = recovery(perturbed)
+    before = recovery(perturbed, cam0)
     log.log(fit_step=-1, **before)
     loss = float("nan")
     for i in range(args.steps):
         (state, loss), secs = StepTimer.timed(step_fn, state, target)
         log.log(fit_step=i, loss=float(loss), seconds=round(secs, 4))
 
-    after = recovery(state.scene)
+    after = recovery(state.scene, state.camera)
     log.log(fit_step=args.steps, **after)
     img = render_mean(state.scene, state.camera, sample_start=0, **kw)
     write_png(args.out, jax.device_get(
@@ -317,8 +407,16 @@ def main(argv=None) -> int:
     f = sub.add_parser("fit", help="inverse-rendering optimization demo")
     _add_common(f)
     f.add_argument("--steps", type=int, default=50)
+    f.add_argument("--perturb-geom", type=float, default=0.0,
+                   help="geometry perturbation scale (default 0: geometry "
+                        "gradients are boundary-dominated and measured "
+                        "direction-uncorrelated with truth — see cmd_fit "
+                        "docstring; set >0 to demonstrate)")
     f.add_argument("--lr", type=float, default=0.05)
-    f.add_argument("--target-spp", type=int, default=4)
+    f.add_argument("--target-spp", type=int, default=0,
+                   help="target-render spp; 0 (default) = match "
+                        "--spp and its RNG streams so the loss is "
+                        "0 exactly at recovery")
     f.add_argument("--fit-camera", action="store_true",
                    help="also nudge + recover the camera pose")
     f.add_argument("--out", default="fit.png")
