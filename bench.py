@@ -28,8 +28,13 @@ flop count:
   in-kernel vjp re-runs the chain forward and once transposed).
 
 The model is per PROCESSED lane; the reported metric divides by rays CAST
-(alive lanes only), so vs_baseline < 1 also prices the dead-lane waste
-that wavefront compaction would recover.
+(alive lanes only), so vs_baseline < 1 also prices dead-lane waste. With
+the regen backend (the sphere-scene default) processed ~= cast — lanes
+regenerate their next sample in-kernel when a ray dies — so vs_baseline
+reflects kernel efficiency, not occupancy: measured r3, fwd runs at 0.84
+of this model and fwd+bwd at 0.65 (the segment backward costs ~1.6x its
+3x-shade term: VMEM state-stack traffic + in-kernel vjp residuals +
+per-step d_table accumulation — attribution in BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """

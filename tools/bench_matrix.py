@@ -69,9 +69,11 @@ def main():
     # --- config 3: 64 spheres, camera+material grads, 1024^2, 16 spp ------
     scene = make_scene("sixtyfour")
     cam = default_camera(scene)
-    kw = dict(width=1024, height=1024, spp=16, seed=0, backend="fused")
+    # regen: the sphere-scene default (the headline backend, BASELINE.md)
+    kw = dict(width=1024, height=1024, spp=16, seed=0, backend="fused",
+              regen=True)
     _, rays = render_pass(scene, cam, sample_start=0, width=1024,
-                          height=1024, spp=16, backend="fused")
+                          height=1024, spp=16, backend="fused", regen=True)
     target = jnp.zeros((1024, 1024, 3), jnp.float32)
 
     @jax.jit
@@ -82,7 +84,7 @@ def main():
 
     dt = timeit(gstep, scene, cam)
     row("config3 fwd+bwd grads sixtyfour 1024x1024 16spp", int(rays), dt,
-        backend="fused")
+        backend="fused+regen")
 
     # --- config 4: trimesh 1080p, Möller-Trumbore in Pallas ---------------
     scene = make_scene("trimesh")
