@@ -1233,15 +1233,17 @@ def _fwd_list_kernel(b_ref, cnt_ref, lst_ref, state_ref, stab_ref,
         idx_ref[:] = jnp.where(live, idx, jnp.int32(-1))
 
 
-_LIST_SMEM_TARGET = 128 * 1024
+_LIST_SMEM_TARGET = 256 * 1024
 
 
 def list_group(n_blocks: int, n_tiles_t: int) -> int:
     """Ray-block group size G for tri_block_lists: one list per G
-    consecutive ray blocks, sized so the [B/G, T] i32 SMEM word table
-    stays under ~128 KB (v5e SMEM is 1 MB/core and Mosaic double-buffers;
-    the ungrouped 1080p table was 656 KB and failed to compile). Grouping
-    only coarsens the reachability OR / entry MIN — output-invariant."""
+    consecutive ray blocks, sized so the [B/G, T] i32 SMEM table stays
+    under ~256 KB (v5e SMEM is 1 MB/core with ~2.9x overhead per input
+    table measured: 384 KB compiled to 1.13 MB used and OOM'd; the
+    ungrouped 656 KB 1080p table was 1.99 MB). Grouping only coarsens
+    the reachability OR — output-invariant; sharper (smaller-G) lists
+    measured worth ~1% at 1080p."""
     g = -(-(n_blocks * n_tiles_t * 4) // _LIST_SMEM_TARGET)
     return min(max(1, g), n_blocks)
 
