@@ -365,14 +365,17 @@ def _onehot_tile(idx, p0: int, pb: int):
     return (rows == idx).astype(jnp.bfloat16)
 
 
-def _scatter_dtable(dtable_ref, d_wn, idx, p_pad: int, onehot=None):
+def _dtable_delta(d_wn, idx, p_pad: int, onehot=None):
     """Gather transpose on the MXU, same exact 3-chunk bf16 scheme, tiled
-    like _gather_winner: d_table[:, tile] += d_winner @ one_hot^T.
-    onehot: pre-built single-tile one-hot to reuse (p_pad <= _GATHER_TILE;
-    saves the second O(P) comparison sweep in the backward kernel)."""
+    like _gather_winner: -> this block's d_table contribution [16, P]
+    (a VALUE, so callers can carry it in registers and keep their grid
+    dimension parallel instead of serializing on a shared accumulator
+    ref). onehot: pre-built single-tile one-hot to reuse
+    (p_pad <= _GATHER_TILE; saves the second O(P) comparison sweep)."""
     c1, c2, c3 = _split3_bf16(
         d_wn, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
     c = jnp.concatenate([c1, c2, c3], axis=0)              # [48,BR]
+    parts = []
     for p0 in range(0, p_pad, _GATHER_TILE):
         pb = min(_GATHER_TILE, p_pad - p0)
         oh = onehot if onehot is not None else _onehot_tile(idx, p0, pb)
@@ -380,8 +383,14 @@ def _scatter_dtable(dtable_ref, d_wn, idx, p_pad: int, onehot=None):
             c, oh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT)           # [48,pb]
-        dtable_ref[:, p0:p0 + pb] = dtable_ref[:, p0:p0 + pb] + (
-            d48[0:16, :] + d48[16:32, :] + d48[32:48, :])
+        parts.append(d48[0:16, :] + d48[16:32, :] + d48[32:48, :])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _scatter_dtable(dtable_ref, d_wn, idx, p_pad: int, onehot=None):
+    """Ref-accumulating form of _dtable_delta: d_table += delta (callers
+    whose grid is already sequential)."""
+    dtable_ref[:] = dtable_ref[:] + _dtable_delta(d_wn, idx, p_pad, onehot)
 
 
 def _tile_roots(st, stab_ref, block_n: int):

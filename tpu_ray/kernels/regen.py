@@ -326,15 +326,19 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     the regenerated o/d enter through where(fin3, ., shaded), so camera
     cotangents flow only on has_more lanes; st rows 19:21 (pixel coords,
     rng hash) and s_next are non-differentiable closures; the winner
-    cotangent scatters onto the table via `_scatter_dtable`."""
+    cotangent becomes this block's d_table PARTIAL (_dtable_delta),
+    carried in registers and written once — dtable/dcam are per-BLOCK
+    outputs summed by XLA, not a shared accumulator ref, so the grid
+    dimension is parallel. (Measured wash on the headline, 87.5 vs
+    87.7M: one tensor core executes grid steps sequentially either way
+    and the sequential-accumulator version pipelined equally well; kept
+    for the cleaner dataflow. Variant timings that motivated the probe:
+    per alive block-step the search-free replay costs ~as much as the
+    full searching forward step — the segment backward's 1.6x-over-
+    3x-shade-model factor is real op volume, i.e. stack writes + second
+    gather + vjp residual recompute, not a scheduling pathology.)"""
     from tpu_ray.core.scene import F32_EPS
-    from tpu_ray.kernels.bounce_step import _scatter_dtable
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        dtable_ref[:] = jnp.zeros_like(dtable_ref)
-        dcam_ref[:] = jnp.zeros_like(dcam_ref)
+    from tpu_ray.kernels.bounce_step import _dtable_delta
 
     block_alive = jnp.max(chk_ref[12:13, :]) > 0.5
 
@@ -342,6 +346,8 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     def _():
         # the whole segment was the identity on this (dead) block
         dstate_ref[:] = dout_ref[:]
+        dtable_ref[:] = jnp.zeros_like(dtable_ref)
+        dcam_ref[:] = jnp.zeros_like(dcam_ref)
 
     @pl.when(block_alive)
     def _():
@@ -359,7 +365,8 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
 
         jax.lax.fori_loop(0, seg, fbody, chk_ref[:])
 
-        def bbody(t2, d_st):
+        def bbody(t2, carry):
+            d_st, dtab, dcam = carry
             t = seg - 1 - t2
             st = states[pl.ds(t * 24, 24), :]
             idx = recs_ref[pl.ds(t, 1), :]
@@ -423,12 +430,18 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
             d_st16, d_tot3, d_wn, d_cb = vjp_fn((d_st[0:12, :],
                                                  d_st[16:19, :]))
             zeros5 = jnp.zeros((5, br), jnp.float32)
-            dcam_ref[:] = dcam_ref[:] + d_cb
-            _scatter_dtable(dtable_ref, d_wn, idx, p_pad, onehot)
-            return jnp.concatenate([d_st16, d_tot3, zeros5], axis=0)
+            dcam = dcam + d_cb
+            dtab = dtab + _dtable_delta(d_wn, idx, p_pad, onehot)
+            return (jnp.concatenate([d_st16, d_tot3, zeros5], axis=0),
+                    dtab, dcam)
 
-        d0 = jax.lax.fori_loop(0, seg, bbody, dout_ref[:])
+        d0, dtab, dcam = jax.lax.fori_loop(
+            0, seg, bbody,
+            (dout_ref[:], jnp.zeros((16, p_pad), jnp.float32),
+             jnp.zeros((16, br), jnp.float32)))
         dstate_ref[:] = d0
+        dtable_ref[:] = dtab
+        dcam_ref[:] = dcam
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -526,12 +539,15 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
     lanes (+4 zero rows) — the differentiable camera operand. chk [24,R]
     segment checkpoint, recs [seg,R] i32 winner records, d_out [24,R]
     cotangent at the segment END. -> (d_state at segment START [24,R],
-    d_table [16,P], d_camrows [16,block_r] — per-lane camera cotangent
-    rows; sum over lanes and feed the `_cam13`-rows vjp)."""
+    d_table PARTIALS [B*16,P] — one [16,P] row block per ray block,
+    reduce with _sum_blocks; d_camrows PARTIALS [B*16,block_r] likewise,
+    then sum over lanes and feed the `_cam13`-rows vjp). Per-block
+    partial outputs keep the grid parallel (kernel docstring)."""
     from tpu_ray.core.camera import film_extent
     film_w, film_h = film_extent(width, height)
     p_pad = table48.shape[1]
     r_tot = chk.shape[1]
+    n_blocks = r_tot // block_r
     m_pad = int(m_pad)
     return pl.pallas_call(
         functools.partial(_regen_seg_kernel, seg=seg, n_pad=p_pad - m_pad,
@@ -557,17 +573,17 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
         out_specs=[
             pl.BlockSpec((24, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            # d_table / d_cam are revisited by every grid step
-            # (accumulation) — the sequential grid makes that well-defined
-            pl.BlockSpec((16, p_pad), lambda i: (0, 0),
+            # per-BLOCK d_table / d_cam partials (row block i): no shared
+            # accumulator, so the grid dimension stays parallel
+            pl.BlockSpec((16, p_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, block_r), lambda i: (0, 0),
+            pl.BlockSpec((16, block_r), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
-            jax.ShapeDtypeStruct((16, p_pad), jnp.float32),
-            jax.ShapeDtypeStruct((16, block_r), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 16, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 16, block_r), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((seg * 24, block_r), jnp.float32)],
         # the segment cotangent updates in place (d_out input 5 ->
@@ -575,9 +591,14 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
         # the reverse scan
         input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=_interpret(),
     )(cam13, cam16, chk, recs, table48, d_out)
+
+
+def _sum_blocks(x, rows: int):
+    """[B*rows, C] per-block partials -> [rows, C] total."""
+    return x.reshape(-1, rows, x.shape[1]).sum(axis=0)
 
 
 def _cam13(camera, s_end):
@@ -797,7 +818,8 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                 cam13, cam16, t48, st_seg, idxs, d_st, seg=seg,
                 use_sky=use_sky, max_bounces=max_bounces, width=width,
                 height=height, m_pad=m_pad, block_r=block_r)
-            return sidx - 1, d_st, d_tab + d_t, d_cr + d_c
+            return (sidx - 1, d_st, d_tab + _sum_blocks(d_t, 16),
+                    d_cr + _sum_blocks(d_c, 16))
 
         last_seg = jnp.maximum(t_final - 1, 0) // seg
         _, d_st0, d_table, d_camrows = jax.lax.while_loop(
