@@ -1,39 +1,44 @@
-"""bench.py is the driver's measurement interface — guard its wiring.
-
-A full fused 1080p run needs the TPU; this exercises the script end-to-end
-at toy size on the jnp backend (arg parsing, render+grad step, the one-line
-JSON contract) plus the speed-of-light model's shape.
-"""
+"""bench.py smoke: the driver records BENCH_r{N}.json from `python
+bench.py`, so a crash there loses the round's headline artifact. Runs the
+real script tiny on the test platform (CPU, interpret-mode kernels) for
+both modes and both backend families, and checks the JSON contract."""
 import json
+import os
 import subprocess
 import sys
 
+import pytest
 
-def test_bench_emits_one_json_line(tmp_path):
-    # force the CPU platform INSIDE the child: the axon TPU plugin ignores
-    # JAX_PLATFORMS, and this test must not touch (or hang on) the tunnel
-    prog = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
-            "sys.argv = ['bench.py', '--width', '32', '--height', '16', "
-            "'--spp', '1', '--iters', '1', '--backend', 'jnp', "
-            "'--mode', 'fwd']; exec(open('bench.py').read())")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
     out = subprocess.run(
-        [sys.executable, "-c", prog],
-        capture_output=True, text=True, timeout=600)
+        [sys.executable, os.path.join(ROOT, "bench.py"), "--iters", "1",
+         *args],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 1, out.stdout
-    rec = json.loads(lines[0])
-    for key in ("metric", "value", "unit", "vs_baseline"):
-        assert key in rec, rec
-    assert rec["value"] > 0 and rec["unit"] == "rays/s"
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+# CPU is not jax.default_backend() when a TPU plugin is attached, but the
+# subprocess pins JAX_PLATFORMS=cpu, so these run anywhere the suite does.
 
 
-def test_speed_of_light_model_monotone():
-    sys.path.insert(0, ".")
-    import bench
-    # more primitives -> lower speed of light; bwd adds work
-    fwd512 = bench.speed_of_light_rays_per_s(512, "v5e", "fwd")
-    fwd1024 = bench.speed_of_light_rays_per_s(1024, "v5e", "fwd")
-    both512 = bench.speed_of_light_rays_per_s(512, "v5e", "fwd+bwd")
-    assert fwd1024 < fwd512
-    assert both512 < fwd512
+@pytest.mark.parametrize("mode", ["fwd", "fwd+bwd"])
+def test_bench_headline_contract(mode):
+    row = _run(["--width", "64", "--height", "36", "--spp", "1",
+                "--mode", mode])
+    for key in ("metric", "value", "unit", "vs_baseline",
+                "speed_of_light_rays_per_s", "ns_per_ray"):
+        assert key in row, (key, row)
+    assert row["unit"] == "rays/s" and row["value"] > 0
+    # sphere scenes default to the regen headline backend
+    assert row["backend"] == "fused+regen", row["backend"]
+
+
+def test_bench_trimesh_defaults_regen_off():
+    row = _run(["--width", "64", "--height", "36", "--spp", "1",
+                "--mode", "fwd", "--scene", "trimesh"])
+    assert row["backend"] == "fused", row["backend"]
+    assert row["value"] > 0
