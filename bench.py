@@ -150,9 +150,9 @@ def main():
                     help="fused backend: persistent-wavefront sample "
                          "regeneration (kernels/regen.py), fwd AND fwd+bwd "
                          "(custom VJP, segment-fused backward). Default: ON "
-                         "for sphere scenes (the measured-best headline "
-                         "path), OFF for triangle soups (regen loses when "
-                         "the search sweep dominates, BASELINE config 4)")
+                         "except for triangle-soup GRADIENT steps (regen's "
+                         "replay repeats the big-table gathers; measured "
+                         "loss there, win everywhere else — BASELINE.md)")
     args = ap.parse_args()
 
     from tpu_ray import make_scene, default_camera
@@ -162,9 +162,14 @@ def main():
     scene = make_scene(args.scene)
     camera = default_camera(scene)
     n = args.width * args.height
+    prims = scene.n_pad + (scene.tris.n_pad if scene.tris is not None
+                           else 0)
     ray_chunk = args.ray_chunk or None
-    if ray_chunk is None and n * scene.n_pad > (1 << 28):
-        # keep the fused [chunk, n_pad] intersection tile ~128 MB
+    if ray_chunk is None and n * prims > (1 << 28):
+        # bound the per-dispatch [chunk, prims] intersection work; the
+        # regen backend additionally gains per-slab termination (each
+        # slab's while_loop ends at ITS slowest lane: trimesh fwd
+        # 7.90 -> 8.66M rays/s from chunking alone, BASELINE.md r3)
         ray_chunk = next((c for c in (86400, 129600, 43200, 28800, 14400,
                                       7200, 3600)
                           if n % c == 0), None)  # None: run unchunked
@@ -177,7 +182,11 @@ def main():
     if args.cull_secondary:
         kw["cull_secondary"] = True
     if args.regen is None:
-        args.regen = args.backend == "fused" and scene.tris is None
+        # measured defaults (BASELINE.md r3): regen wins everywhere
+        # except the triangle GRADIENT step, where the segment backward
+        # repeats the expensive big-table gathers per replay step
+        args.regen = args.backend == "fused" and (
+            scene.tris is None or args.mode == "fwd")
     if args.regen:
         assert args.backend == "fused", (
             "--regen is the fused persistent wavefront")

@@ -37,8 +37,16 @@ def test_bench_headline_contract(mode):
     assert row["backend"] == "fused+regen", row["backend"]
 
 
-def test_bench_trimesh_defaults_regen_off():
+def test_bench_trimesh_default_routing():
+    # measured defaults (BASELINE.md r3): regen ON for trimesh forward
+    # (wins with the resident list sweep + slab chunking), OFF for the
+    # trimesh gradient step (the segment backward repeats the big-table
+    # gathers per replay step and loses)
     row = _run(["--width", "64", "--height", "36", "--spp", "1",
                 "--mode", "fwd", "--scene", "trimesh"])
+    assert row["backend"] == "fused+regen", row["backend"]
+    assert row["value"] > 0
+    row = _run(["--width", "64", "--height", "36", "--spp", "1",
+                "--mode", "fwd+bwd", "--scene", "trimesh"])
     assert row["backend"] == "fused", row["backend"]
     assert row["value"] > 0

@@ -300,6 +300,101 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
             idx_ref[:] = rec
 
 
+def _regen_list_kernel(cam_ref, cnt_ref, lst_ref, state_ref, stab_ref,
+                       tri_ref, table_ref, *refs, n_pad: int, m_pad: int,
+                       p_pad: int, block_n: int, block_m: int,
+                       use_sky: bool, pack: bool, max_bounces: int,
+                       width: int, height: int, film_w: float,
+                       film_h: float, group: int, with_idx: bool):
+    """Persistent-wavefront step with the RESIDENT-table list sweep for
+    triangle soups (the regen form of bounce_step._fwd_list_kernel): grid
+    over ray blocks only, whole tri table VMEM-resident, a dynamic-trip
+    fori_loop over this block group's compacted reachable-tile list
+    (tri_block_lists — recomputed on the host per regen step, exactly as
+    the per-sample fused path does per bounce), then the shared
+    `_step_tail`. Bit-identical folds to _regen_kernel's streamed sweep."""
+    out_ref = refs[0]
+    idx_ref = refs[1] if with_idx else None
+
+    n_tiles_s = n_pad // block_n if n_pad else 0
+    n_tiles_t = m_pad // block_m
+    low_mask, miss_s = _pack_bits(p_pad)
+    i = pl.program_id(0) // group
+    block_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(block_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+        if with_idx:
+            idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    @pl.when(block_alive)
+    def _():
+        from tpu_ray.kernels.bounce_step import _tri_bk
+        st = state_ref[:]
+        cnt = cnt_ref[i, 0]
+        br = st.shape[1]
+
+        def tri_rows(k):
+            tile = lst_ref[i, jnp.minimum(k, n_tiles_t - 1)]
+            return (tri_ref[pl.ds(tile * (4 * block_m), 4 * block_m), :],
+                    n_pad + tile * block_m)
+
+        bk = _tri_bk(st[0:16])
+
+        if pack:
+            carry = jnp.full((1, br), miss_s, jnp.int32)
+            for js in range(n_tiles_s):
+                stab_js = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
+                tb = _tile_roots(st[0:16], stab_js, block_n)
+                carry = jnp.minimum(
+                    carry, jnp.min(_pack_tile(tb, js * block_n, low_mask),
+                                   axis=0, keepdims=True))
+
+            def w_body(k, carry):
+                rows, row0 = tri_rows(k)
+                tb = _tile_tri_t(st[0:16], rows, block_m, bk)
+                return jnp.minimum(
+                    carry, jnp.min(_pack_tile(tb, row0, low_mask),
+                                   axis=0, keepdims=True))
+
+            carry = jax.lax.fori_loop(0, cnt, w_body, carry)
+            idx, hit = _unpack(carry, low_mask, miss_s)
+        else:
+            tmin = jnp.full((1, br), F32_MAX, jnp.float32)
+            idxc = jnp.zeros((1, br), jnp.int32)
+            for js in range(n_tiles_s):
+                stab_js = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
+                tb = _tile_roots(st[0:16], stab_js, block_n)
+                tm, ic = _exact_tile(tb, js * block_n, shift_valid=True)
+                better = tm < tmin
+                idxc = jnp.where(better, ic, idxc)
+                tmin = jnp.where(better, tm, tmin)
+
+            def w_body(k, c):
+                tmin, idxc = c
+                rows, row0 = tri_rows(k)
+                tb = _tile_tri_t(st[0:16], rows, block_m, bk)
+                tm, ic = _exact_tile(tb, row0, shift_valid=False)
+                better = tm < tmin
+                idxc = jnp.where(better, ic, idxc)
+                tmin = jnp.where(better, tm, tmin)
+                return tmin, idxc
+
+            tmin, idxc = jax.lax.fori_loop(0, cnt, w_body, (tmin, idxc))
+            idx = idxc
+            hit = tmin < F32_MAX
+
+        out, rec = _step_tail(cam_ref, st, idx, hit, table_ref,
+                              n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
+                              use_sky=use_sky, max_bounces=max_bounces,
+                              width=width, height=height, film_w=film_w,
+                              film_h=film_h)
+        out_ref[:] = out
+        if with_idx:
+            idx_ref[:] = rec
+
+
 def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
                       dout_ref, dstate_ref, dtable_ref, dcam_ref, states,
                       *, seg: int, n_pad: int, m_pad: int, p_pad: int,
@@ -446,17 +541,21 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "use_sky", "block_r", "max_bounces", "exact_argmin",
-    "width", "height", "with_idx"))
-def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
+    "width", "height", "with_idx", "group"))
+def regen_step(cam13, table48, stab, state, tri_tab=None, tri_lists=None,
+               *, use_sky: bool,
                max_bounces: int, width: int, height: int,
                block_r: int = BLOCK_R, exact_argmin: bool = False,
-               with_idx: bool = False):
+               with_idx: bool = False, group: int = 1):
     """One persistent-wavefront step over every ray block: search + shade
     + in-lane regeneration. cam13 [1,13] f32 (position, film_center,
     cam_x, cam_y, s_end = sample_start + spp as exact f32),
-    state [24, R]. -> new state [24, R]; with_idx=True additionally
-    returns the saved winner record [R] i32 (live winner id, -1 on
-    miss/dead) for the differentiable path's replay."""
+    state [24, R]. tri_lists optional (cnt [B/G,1], lst [B/G,T]) from
+    tri_block_lists at group=G: routes the triangle sweep through the
+    RESIDENT-table list kernel (_regen_list_kernel — bit-identical folds,
+    same win as bounce_fwd_list). -> new state [24, R]; with_idx=True
+    additionally returns the saved winner record [R] i32 (live winner id,
+    -1 on miss/dead) for the differentiable path's replay."""
     from tpu_ray.core.camera import film_extent
     film_w, film_h = film_extent(width, height)
     p_pad = table48.shape[1]
@@ -470,6 +569,56 @@ def regen_step(cam13, table48, stab, state, tri_tab=None, *, use_sky: bool,
     n_tiles_s = n_pad // block_n
     n_tiles = n_tiles_s + (m_pad // block_m if m_pad else 0)
     pack = _use_pack(p_pad, exact_argmin)
+
+    if tri_lists is not None:
+        assert m_pad and block_m == 128, (m_pad, block_m)
+        n_blocks = r_tot // block_r
+        n_groups = -(-n_blocks // group)
+        cnt, lst = tri_lists
+        n_tiles_t = m_pad // block_m
+        assert cnt.shape == (n_groups, 1), (cnt.shape, n_groups)
+        assert lst.shape == (n_groups, n_tiles_t), lst.shape
+        out_specs = [pl.BlockSpec((24, block_r), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((24, r_tot), jnp.float32)]
+        if with_idx:
+            out_specs.append(pl.BlockSpec((1, block_r), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, r_tot), jnp.int32))
+        out = pl.pallas_call(
+            functools.partial(
+                _regen_list_kernel, n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
+                block_n=block_n, block_m=block_m, use_sky=use_sky,
+                pack=pack, max_bounces=max_bounces, width=width,
+                height=height, film_w=float(film_w), film_h=float(film_h),
+                group=group, with_idx=with_idx),
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 13), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_groups, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_groups, n_tiles_t), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((24, block_r), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * m_pad, 96), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((48, p_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs if with_idx else out_specs[0],
+            out_shape=out_shape if with_idx else out_shape[0],
+            input_output_aliases={3: 0},     # state updates in place
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=_interpret(),
+        )(cam13, cnt, lst, state, stab, tri_tab, table48)
+        if with_idx:
+            return out[0], out[1][0]
+        return out
 
     tri_in, tri_spec = [], []
     if m_pad:
@@ -653,6 +802,22 @@ def _wave_init(camera, pixel, spp: int, seed: int, sample_start,
     return st, _cam13(camera, s_end), r
 
 
+def _list_mode(tb, r_pad: int, block_r: int):
+    """-> (use_list, group) for the resident-table tri list sweep."""
+    from tpu_ray.kernels.bounce_step import (_TRI_TILE, list_group,
+                                             resident_tables_fit)
+    if not (tb["m_pad"] and resident_tables_fit(tb["n_pad"], tb["m_pad"])):
+        return False, 1
+    return True, list_group(r_pad // block_r, tb["m_pad"] // _TRI_TILE)
+
+
+def _step_lists(tb, st, block_r: int, group: int):
+    """Per-regen-step reachable-tile lists from the live state (the regen
+    analogue of the per-bounce lists in bounce_step's fused path)."""
+    from tpu_ray.kernels.bounce_step import tri_block_lists
+    return tri_block_lists(tb["tri_boxes"], st[0:16], block_r, group)
+
+
 def make_trace_regen(width: int, height: int):
     """Persistent-wavefront spp-sample trace bound to a film size
     (width/height are film-math statics, mirroring ops/raygen.camera_rays).
@@ -672,6 +837,7 @@ def make_trace_regen(width: int, height: int):
         st, cam13, r = _wave_init(camera, pixel, spp, seed, sample_start,
                                   width, height, block_r)
         k_max = spp * max_bounces
+        use_list, grp = _list_mode(tb, st.shape[1], block_r)
 
         def cond(carry):
             st, t = carry
@@ -680,10 +846,14 @@ def make_trace_regen(width: int, height: int):
         def body(carry):
             st, t = carry
             st = regen_step(cam13, tb["t48"], tb["stab_full"], st,
-                            tb["tri_full"], use_sky=scene.use_sky,
+                            tb["tri_full"],
+                            _step_lists(tb, st, block_r, grp) if use_list
+                            else None,
+                            use_sky=scene.use_sky,
                             max_bounces=max_bounces,
                             width=width, height=height,
-                            block_r=block_r, exact_argmin=exact_argmin)
+                            block_r=block_r, exact_argmin=exact_argmin,
+                            group=grp)
             return st, t + 1
 
         st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
@@ -751,6 +921,7 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
         st, cam13, r = _wave_init(camera, pixel, spp, seed, s0,
                                   width, height, block_r)
         r_pad = st.shape[1]
+        use_list, grp = _list_mode(tb, r_pad, block_r)
         ib = jnp.full((k_pad, r_pad), -1, jnp.int16)
         cb = jnp.zeros((n_seg, 24, r_pad), jnp.float32)
 
@@ -767,9 +938,10 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                 lambda cb: cb, cb)
             st2, rec = regen_step(
                 cam13, tb["t48"], tb["stab_full"], st, tb["tri_full"],
+                _step_lists(tb, st, block_r, grp) if use_list else None,
                 use_sky=scene_p.use_sky, max_bounces=max_bounces,
                 width=width, height=height, block_r=block_r,
-                exact_argmin=exact_argmin, with_idx=True)
+                exact_argmin=exact_argmin, with_idx=True, group=grp)
             ib = jax.lax.dynamic_update_slice(
                 ib, rec.astype(jnp.int16)[None, :], (t, 0))
             return st2, t + 1, ib, cb
@@ -803,7 +975,13 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                                     cam_y, jnp.zeros(4, jnp.float32)])
 
         rows16, rows_vjp = jax.vjp(rows_fn, camera)
-        cam16 = jnp.broadcast_to(rows16.reshape(16, 1), (16, block_r))
+        # Large soups: the segment kernel's unrolled one-hot gather tiles
+        # are [_GATHER_TILE, block_r] bf16 x ceil(P/tile) with no Mosaic
+        # stack reuse across the replay and the vjp — 30.5 MB scoped vmem
+        # at p_pad ~10k (measured OOM; same class as bounce_bwd's). A
+        # narrower backward ray block shrinks every one-hot 4x.
+        br_bwd = block_r if t48.shape[1] <= 4096 else min(block_r, 256)
+        cam16 = jnp.broadcast_to(rows16.reshape(16, 1), (16, br_bwd))
 
         d_st = jnp.zeros((24, r_pad), jnp.float32)
         d_st = d_st.at[16:19, :r].set(d_color.T)
@@ -817,7 +995,7 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
             d_st, d_t, d_c = regen_seg_bwd(
                 cam13, cam16, t48, st_seg, idxs, d_st, seg=seg,
                 use_sky=use_sky, max_bounces=max_bounces, width=width,
-                height=height, m_pad=m_pad, block_r=block_r)
+                height=height, m_pad=m_pad, block_r=br_bwd)
             return (sidx - 1, d_st, d_tab + _sum_blocks(d_t, 16),
                     d_cr + _sum_blocks(d_c, 16))
 
@@ -825,7 +1003,7 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
         _, d_st0, d_table, d_camrows = jax.lax.while_loop(
             lambda c: c[0] >= 0, seg_body,
             (last_seg, d_st, jnp.zeros_like(table),
-             jnp.zeros((16, block_r), jnp.float32)))
+             jnp.zeros((16, br_bwd), jnp.float32)))
         (d_cam,) = rows_vjp(jnp.sum(d_camrows, axis=1))
 
         # sample-s0 rays of the initial state came from the XLA raygen
