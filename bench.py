@@ -141,6 +141,9 @@ def main():
                     help="rays per chunk (0 = auto)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--chip", default="v5e")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the resolved routing (backend, chunk, "
+                         "speed of light) without rendering")
     ap.add_argument("--cull-secondary", action="store_true",
                     help="fused backend: octant-split tile culling on "
                          "secondary bounces (bit-identical A/B knob; every "
@@ -169,10 +172,14 @@ def main():
         # bound the per-dispatch [chunk, prims] intersection work; the
         # regen backend additionally gains per-slab termination (each
         # slab's while_loop ends at ITS slowest lane: trimesh fwd
-        # 7.90 -> 8.66M rays/s from chunking alone, BASELINE.md r3)
-        ray_chunk = next((c for c in (86400, 129600, 43200, 28800, 14400,
-                                      7200, 3600)
-                          if n % c == 0), None)  # None: run unchunked
+        # 7.90 -> 8.66M rays/s from chunking alone). Chunk-size sweeps
+        # (BASELINE.md r3): spheres 86400 > 43200 (87.7 vs 86.6M);
+        # trimesh 43200 > 28800 > 86400 > 14400 (8.82/8.79/8.66/8.61M —
+        # smaller slabs also sharpen the tri reachability lists, whose
+        # SMEM grouping turns off below ~64 ray blocks per slab)
+        sizes = (43200, 86400, 28800, 129600, 14400, 7200, 3600)             if scene.tris is not None else             (86400, 129600, 43200, 28800, 14400, 7200, 3600)
+        ray_chunk = next((c for c in sizes if n % c == 0),
+                         None)  # None: run unchunked
 
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               seed=0, max_bounces=args.max_bounces, backend=args.backend,
@@ -191,6 +198,21 @@ def main():
         assert args.backend == "fused", (
             "--regen is the fused persistent wavefront")
         kw["regen"] = True
+
+    if args.dry_run:
+        # resolved routing only (tests check backend/chunk defaults
+        # without paying a compile)
+        print(json.dumps({
+            "metric": f"dry-run {args.mode} {args.scene}",
+            "value": 0, "unit": "rays/s", "vs_baseline": 0,
+            "backend": args.backend + ("+regen" if args.regen else ""),
+            "ray_chunk": ray_chunk,
+            "speed_of_light_rays_per_s": round(
+                speed_of_light_rays_per_s(scene.n_pad, args.chip,
+                                          args.mode), 1),
+            "ns_per_ray": 0,
+        }))
+        return None
 
     # total rays cast (the reference's counter) from one forward pass
     _, rays = render_pass(scene, camera, sample_start=0, **kw)
