@@ -901,10 +901,10 @@ def tri_tile_bounds(tris, block_m: int = TRI_BLOCK_M):
 
 def tri_tile_boxes(tris, block_m: int = TRI_BLOCK_M):
     """Inflated tri-tile AABBs as ONE [T, 6] f32 table (lo.xyz, hi.xyz)
-    for the in-kernel chunk gate (_chunk_slab_any). The 1e-4 relative
-    inflation makes the kernel's 6-divide slab test conservatively safe
+    for the reachability-list builder (tri_block_lists). The 1e-4
+    relative inflation makes the 6-divide slab test conservatively safe
     against f32 rounding; empty boxes of all-padding tiles (lo > hi) are
-    left empty so every chunk gates them off."""
+    left empty so every block skips them."""
     lo, hi = tri_tile_bounds(tris, block_m)
     span = jnp.maximum(hi - lo, 0.0)
     pad = 1e-4 * (span + jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1e-6)
