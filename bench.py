@@ -56,16 +56,26 @@ SEARCH_PASSES = 1         # ONE K-stacked DEFAULT matmul (K=54 -> 128 pad)
 CHAIN_OPS_PER_PAIR = 12.0  # root chain + packed argmin (VPU)
 SHADE_OPS_PER_RAY = 250.0  # per-lane shading chain (VPU)
 GATHER_PASSES = 3          # exact bf16-chunk one-hot gather
+TRI_MXU_PER_PAIR = 768.0   # 4 MT scalars x K=96 x 2 flops per (ray, tri)
+TRI_CHAIN_PER_PAIR = 12.0  # det/uv/valid/select + packed argmin (VPU)
+TRI_REACH = 0.55           # measured reachable-tile fraction the list
+                           # sweep cannot skip (tri_block_lists, trimesh
+                           # per-block pass rate ~0.55 at 43200-ray slabs)
 
 
-def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str) -> float:
+def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str,
+                              m_pad: int = 0) -> float:
     mxu = MXU_BF16_FLOPS.get(chip, 1.97e14)
     vpu = VPU_F32_FLOPS.get(chip, 1.5e12)
     search_s = SEARCH_PASSES * 2.0 * (2 * n_pad) * 128 / mxu
     chain_s = CHAIN_OPS_PER_PAIR * n_pad / vpu
-    shade_s = (GATHER_PASSES * 2.0 * 48 * n_pad / mxu
+    # triangles: the resident-table list sweep folds only the reachable
+    # tiles, so the floor scales with TRI_REACH * m_pad, not m_pad
+    tri_s = TRI_REACH * m_pad * (TRI_MXU_PER_PAIR / mxu
+                                 + TRI_CHAIN_PER_PAIR / vpu)
+    shade_s = (GATHER_PASSES * 2.0 * 48 * (n_pad + m_pad) / mxu
                + SHADE_OPS_PER_RAY / vpu)
-    per_ray = max(search_s, chain_s) + shade_s
+    per_ray = max(search_s, chain_s) + tri_s + shade_s
     if mode == "fwd+bwd":
         per_ray += 3.0 * shade_s          # replay + bwd (measured ~0.6x fwd)
     return 1.0 / per_ray
@@ -208,8 +218,9 @@ def main():
             "backend": args.backend + ("+regen" if args.regen else ""),
             "ray_chunk": ray_chunk,
             "speed_of_light_rays_per_s": round(
-                speed_of_light_rays_per_s(scene.n_pad, args.chip,
-                                          args.mode), 1),
+                speed_of_light_rays_per_s(
+                    scene.n_pad, args.chip, args.mode,
+                    scene.tris.n_pad if scene.tris is not None else 0), 1),
             "ns_per_ray": 0,
         }))
         return None
@@ -241,7 +252,9 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
 
     value = total_rays / dt
-    sol = speed_of_light_rays_per_s(scene.n_pad, args.chip, args.mode)
+    sol = speed_of_light_rays_per_s(
+        scene.n_pad, args.chip, args.mode,
+        scene.tris.n_pad if scene.tris is not None else 0)
     print(json.dumps({
         "metric": f"rays/s/chip {args.mode} {args.width}x{args.height} "
                   f"{args.spp}spp {args.scene}",
