@@ -41,16 +41,30 @@ def _add_common(ap: argparse.ArgumentParser):
                          "every TPU measurement is a LOSS — 19%% slower "
                          "on the sphere headline, a wash on meshes, "
                          "BASELINE.md — kept for A/B measurement only)")
-    ap.add_argument("--regen", action="store_true",
+    ap.add_argument("--regen", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="fused backend: persistent-wavefront sample "
                          "regeneration — all spp samples in one kernel "
                          "loop, ~100%% lane occupancy (render, fit, "
-                         "animate; differentiable via its custom VJP)")
+                         "animate; differentiable via its custom VJP). "
+                         "Default: ON whenever --backend fused (the "
+                         "measured-best path for rendering, BASELINE.md); "
+                         "--no-regen to disable")
     ap.add_argument("--mesh", default=None,
                     help="device mesh, e.g. '8' or '4x2' (rays[xspheres])")
     ap.add_argument("--metrics", default=None, help="JSONL metrics file")
     ap.add_argument("--profile", default=None,
                     help="jax.profiler trace directory")
+
+
+def _want_regen(flag, backend: str) -> bool:
+    """--regen default: ON whenever the fused backend renders (measured
+    best, BASELINE.md r3 — including triangle soups via the resident
+    list sweep); an explicit --no-regen wins. Gradient-heavy commands
+    pass their own measured default."""
+    if backend != "fused":
+        return False
+    return True if flag is None else bool(flag)
 
 
 def _parse_mesh(spec):
@@ -82,7 +96,7 @@ def cmd_render(args) -> int:
                        ray_chunk=args.ray_chunk, shading=args.shading,
                        exact_argmin=args.exact_argmin,
                        cull_secondary=args.cull_secondary,
-                       regen=args.regen and args.backend == "fused")
+                       regen=_want_regen(args.regen, args.backend))
     mesh = _parse_mesh(args.mesh)
     total_rays = 0
 
@@ -103,7 +117,7 @@ def cmd_render(args) -> int:
                 max_bounces=cfg.max_bounces, ray_chunk=cfg.ray_chunk,
                 shading=cfg.shading, exact_argmin=cfg.exact_argmin,
                 cull_secondary=cfg.cull_secondary,
-                regen=args.regen and cfg.backend == "fused")
+                regen=_want_regen(args.regen, cfg.backend))
         tracer = PathTracer(cfg, scene=scene)
         tracer.camera = camera
     else:
@@ -194,7 +208,7 @@ def cmd_fit(args) -> int:
               backend=args.backend, ray_chunk=args.ray_chunk,
               exact_argmin=args.exact_argmin,
               cull_secondary=args.cull_secondary,
-              regen=args.regen and args.backend == "fused")
+              regen=_want_regen(args.regen, args.backend))
 
     # Default (--target-spp 0): the target uses the SAME spp and RNG
     # streams as training, so the Monte-Carlo noise cancels exactly and
@@ -346,7 +360,7 @@ def cmd_animate(args) -> int:
                        ray_chunk=args.ray_chunk, shading=args.shading,
                        exact_argmin=args.exact_argmin,
                        cull_secondary=args.cull_secondary,
-                       regen=args.regen and args.backend == "fused")
+                       regen=_want_regen(args.regen, args.backend))
     tracer = PathTracer(cfg)
     scene = tracer.scene
     os.makedirs(args.out_dir, exist_ok=True)
