@@ -109,7 +109,9 @@ class SceneBuilder:
 
         def pack(rows, shape):
             out = np.zeros((n_pad,) + shape, np.float32)
-            out[:n] = np.stack(rows) if shape else np.asarray(rows, np.float32)
+            if n:  # zero spheres is legal (mesh-only scenes): all padding
+                out[:n] = (np.stack(rows) if shape
+                           else np.asarray(rows, np.float32))
             return jnp.asarray(out)  # device array: usable under trace & jit
 
         return Scene(
@@ -416,7 +418,43 @@ _SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend", "single", "sixteen",
                    "sixtyfour", "trimesh"]
 
 
+def make_obj_scene(path: str, pad_to: int = SPHERE_PAD,
+                   albedo=(0.6, 0.6, 0.6)) -> Scene:
+    """Scene from a Wavefront OBJ file (`--scene obj:PATH`): the mesh is
+    normalized to ~2 world units, set on a gray ground quad under the sky,
+    and framed by the default orbit camera. Per-face materials default to
+    a uniform albedo — edit the returned pytree for anything fancier."""
+    from tpu_ray.core.trimesh import load_obj, merge, pack_triangles, quad
+
+    v, f = load_obj(path)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    span = float(max(np.max(hi - lo), 1e-6))
+    s = float(WORLD_SCALE)
+    # normalize: longest extent -> 2.5 world units, base on the ground
+    v = (v - (lo + hi) * 0.5) * (2.5 * s / span)
+    v[:, 1] -= v[:, 1].min()
+    g = 40.0 * s
+    verts, faces, colors = merge([
+        (v, f, albedo),
+        (*quad((-g, 0, -g), (-g, 0, g), (g, 0, g), (g, 0, -g)),
+         (0.55, 0.55, 0.55)),
+    ])
+    tris = pack_triangles(verts, faces, colors)
+    b = SceneBuilder()
+    scene = b.build(
+        look_at=np.array([0.0, 1.0 * s, 0.0], np.float32),
+        use_sky=True,
+        default_distance=8.0 * WORLD_SCALE,
+        default_x_angle=PI32 / np.float64(5.0),
+        default_y_height=2.5 * WORLD_SCALE,
+        pad_to=pad_to,
+    )
+    return dataclasses.replace(scene, tris=tris)
+
+
 def make_scene(name_or_index, pad_to: int = SPHERE_PAD) -> Scene:
     if isinstance(name_or_index, int):
         name_or_index = _SCENE_BY_INDEX[name_or_index]
+    if isinstance(name_or_index, str) and name_or_index.startswith("obj:"):
+        return make_obj_scene(name_or_index[4:], pad_to=pad_to)
     return SCENE_BUILDERS[name_or_index](pad_to=pad_to)

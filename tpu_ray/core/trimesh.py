@@ -129,3 +129,38 @@ def merge(meshes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                                     (len(f), 3)).copy())
         off += len(v)
     return (np.concatenate(vs), np.concatenate(fs), np.concatenate(cols))
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal Wavefront OBJ reader -> (vertices [V,3] f32, faces [F,3] i64).
+
+    Supports `v x y z` and `f` lines in all four index forms (v, v/vt,
+    v/vt/vn, v//vn), negative (relative) indices, and polygon faces
+    (triangulated as a fan). Normals/texcoords/materials are ignored —
+    shading attributes come from pack_triangles' per-face fields. Enough
+    to pull real assets into the trimesh pipeline (the reference has no
+    mesh support at all; SURVEY.md 'no triangles')."""
+    verts: list = []
+    faces: list = []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "v" and len(parts) >= 4:
+                verts.append([float(parts[1]), float(parts[2]),
+                              float(parts[3])])
+            elif parts[0] == "f" and len(parts) >= 4:
+                idx = []
+                for tok in parts[1:]:
+                    i = int(tok.split("/")[0])
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):     # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    if not verts or not faces:
+        raise ValueError(f"no triangles in OBJ file {path!r}")
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    if f.min() < 0 or f.max() >= len(v):
+        raise ValueError(f"face index out of range in {path!r}")
+    return v, f
