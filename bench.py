@@ -36,15 +36,39 @@ of this model and fwd+bwd at 0.65 (the segment backward costs ~1.6x its
 3x-shade term: VMEM state-stack traffic + in-kernel vjp residuals +
 per-step d_table accumulation — attribution in BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints a PROVISIONAL JSON line as soon as the first timed step exists and
+the final line after the full measurement — the last stdout line is always
+the best available result, so a driver-side timeout can no longer erase the
+round's headline artifact (BENCH_r03 lesson: rc=124, parsed=null, with
+~150 s of the 165 s wall being compile).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_ENV_PLATFORM = os.environ.get("JAX_PLATFORMS", "")
+if _ENV_PLATFORM:
+    # The axon TPU plugin overrides the JAX_PLATFORMS env var at import
+    # time; jax.config wins over the plugin (tests/conftest.py), so honor
+    # the env contract in-process — the test suite's subprocess runs pin
+    # cpu this way and must never open the one-client TPU tunnel.
+    jax.config.update("jax_platforms", _ENV_PLATFORM)
+if "cpu" not in _ENV_PLATFORM.split(","):
+    # Persistent compilation cache, committed warm from the builder's own
+    # TPU runs: a cold `python bench.py` skips the ~150 s regen-VJP
+    # compile entirely (measured: 34 s -> 0.3 s on a probe jit through
+    # the axon tunnel).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 
 # Peak per-chip throughputs. VPU: measured effective f32 elementwise ops/s
@@ -58,20 +82,23 @@ SHADE_OPS_PER_RAY = 250.0  # per-lane shading chain (VPU)
 GATHER_PASSES = 3          # exact bf16-chunk one-hot gather
 TRI_MXU_PER_PAIR = 768.0   # 4 MT scalars x K=96 x 2 flops per (ray, tri)
 TRI_CHAIN_PER_PAIR = 12.0  # det/uv/valid/select + packed argmin (VPU)
-TRI_REACH = 0.55           # measured reachable-tile fraction the list
-                           # sweep cannot skip (tri_block_lists, trimesh
-                           # per-block pass rate ~0.55 at 43200-ray slabs)
+TRI_REACH = 0.55           # dry-run FALLBACK only: measured reachable-tile
+                           # fraction on the builtin trimesh scene. Real
+                           # bench runs MEASURE the per-scene fraction via
+                           # kernels.bounce_step.measured_tri_reach so
+                           # vs_baseline stays honest for arbitrary meshes.
 
 
 def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str,
-                              m_pad: int = 0) -> float:
+                              m_pad: int = 0,
+                              tri_reach: float = TRI_REACH) -> float:
     mxu = MXU_BF16_FLOPS.get(chip, 1.97e14)
     vpu = VPU_F32_FLOPS.get(chip, 1.5e12)
     search_s = SEARCH_PASSES * 2.0 * (2 * n_pad) * 128 / mxu
     chain_s = CHAIN_OPS_PER_PAIR * n_pad / vpu
     # triangles: the resident-table list sweep folds only the reachable
-    # tiles, so the floor scales with TRI_REACH * m_pad, not m_pad
-    tri_s = TRI_REACH * m_pad * (TRI_MXU_PER_PAIR / mxu
+    # tiles, so the floor scales with tri_reach * m_pad, not m_pad
+    tri_s = tri_reach * m_pad * (TRI_MXU_PER_PAIR / mxu
                                  + TRI_CHAIN_PER_PAIR / vpu)
     shade_s = (GATHER_PASSES * 2.0 * 48 * (n_pad + m_pad) / mxu
                + SHADE_OPS_PER_RAY / vpu)
@@ -79,6 +106,21 @@ def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str,
     if mode == "fwd+bwd":
         per_ray += 3.0 * shade_s          # replay + bwd (measured ~0.6x fwd)
     return 1.0 / per_ray
+
+
+def measure_tri_reach(scene, camera, args, stride: int = 4) -> float:
+    """Per-scene reachable-tile fraction of the list sweep, measured on a
+    strided subsample of whole ray blocks (block coherence preserved — the
+    lists are per-block-group, so sampling must keep blocks intact)."""
+    from tpu_ray.kernels.bounce_step import BLOCK_R, measured_tri_reach
+    from tpu_ray.models.path_tracer import tile_order
+    from tpu_ray.ops.raygen import camera_rays
+    perm, _ = tile_order(args.width, args.height)
+    n = perm.size - perm.size % BLOCK_R
+    pixel = jnp.asarray(perm[:n]).reshape(-1, BLOCK_R)[::stride].reshape(-1)
+    o, d, base = camera_rays(camera, args.width, args.height, pixel,
+                             jnp.uint32(0), 0)
+    return measured_tri_reach(scene, o, d, base, args.max_bounces)
 
 
 def bench_scaling(args, scene, camera, kw):
@@ -209,65 +251,88 @@ def main():
             "--regen is the fused persistent wavefront")
         kw["regen"] = True
 
+    m_pad = scene.tris.n_pad if scene.tris is not None else 0
     if args.dry_run:
         # resolved routing only (tests check backend/chunk defaults
-        # without paying a compile)
+        # without paying a compile); tri_reach is the static fallback here
         print(json.dumps({
             "metric": f"dry-run {args.mode} {args.scene}",
             "value": 0, "unit": "rays/s", "vs_baseline": 0,
             "backend": args.backend + ("+regen" if args.regen else ""),
             "ray_chunk": ray_chunk,
             "speed_of_light_rays_per_s": round(
-                speed_of_light_rays_per_s(
-                    scene.n_pad, args.chip, args.mode,
-                    scene.tris.n_pad if scene.tris is not None else 0), 1),
+                speed_of_light_rays_per_s(scene.n_pad, args.chip,
+                                          args.mode, m_pad), 1),
+            **({"tri_reach": TRI_REACH, "tri_reach_source": "static"}
+               if m_pad else {}),
             "ns_per_ray": 0,
         }))
         return None
 
-    # total rays cast (the reference's counter) from one forward pass
-    _, rays = render_pass(scene, camera, sample_start=0, **kw)
-    total_rays = int(rays)
-
+    # ONE compiled step for either mode; the rays-cast counter (the
+    # reference's stats metric, main.cpp:696-703) rides along as a
+    # non-differentiated output instead of costing a second fwd compile
     if args.mode == "fwd":
         def step(scene, camera):
-            img, rays = render_pass(scene, camera, sample_start=0, **kw)
-            return img
+            return render_pass(scene, camera, sample_start=0, **kw)
     else:
         target = jnp.zeros((args.height, args.width, 3), jnp.float32)
 
         @jax.jit
         def step(scene, camera):
             def loss_fn(scene, camera):
-                img = render_mean(scene, camera, sample_start=0,
-                                  remat="save_hits", **kw)
-                return image_mse(img, target)
-            return jax.grad(loss_fn, argnums=(0, 1))(scene, camera)
+                img, rays = render_mean(scene, camera, sample_start=0,
+                                        remat="save_hits", return_rays=True,
+                                        **kw)
+                return image_mse(img, target), rays
+            (_, rays), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(scene, camera)
+            return grads, rays
 
-    jax.block_until_ready(step(scene, camera))  # compile + warm up
+    def emit(dt, total_rays, tri_reach, provisional: bool):
+        value = total_rays / dt
+        sol = speed_of_light_rays_per_s(scene.n_pad, args.chip, args.mode,
+                                        m_pad, tri_reach)
+        print(json.dumps({
+            "metric": f"rays/s/chip {args.mode} {args.width}x{args.height} "
+                      f"{args.spp}spp {args.scene}",
+            "value": round(value, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(value / sol, 4),
+            "total_rays_per_step": total_rays,
+            "step_seconds": round(dt, 4),
+            "ns_per_ray": round(dt / total_rays * 1e9, 3),
+            "backend": args.backend + ("+regen" if args.regen else ""),
+            "ray_chunk": ray_chunk,
+            "speed_of_light_rays_per_s": round(sol, 1),
+            **({"tri_reach": round(tri_reach, 4),
+                "tri_reach_source": "static" if tri_reach == TRI_REACH
+                else "measured"} if m_pad else {}),
+            **({"provisional": True, "iters": 1} if provisional else {}),
+        }), flush=True)
+
+    out = step(scene, camera)           # compile + warm up
+    jax.block_until_ready(out)
+    total_rays = int(out[1])
+
+    # first timed step -> provisional line immediately (a driver timeout
+    # during the remaining iterations still leaves a parseable tail)
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(scene, camera))
+    dt1 = time.perf_counter() - t0
+    emit(dt1, total_rays, TRI_REACH, provisional=True)
+
+    # per-scene measured reachable-tile fraction for the SoL floor
+    # (tri scenes only; one strided-subsample sweep of the list kernels)
+    tri_reach = measure_tri_reach(scene, camera, args) if m_pad else 0.0
+
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(scene, camera)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
-
-    value = total_rays / dt
-    sol = speed_of_light_rays_per_s(
-        scene.n_pad, args.chip, args.mode,
-        scene.tris.n_pad if scene.tris is not None else 0)
-    print(json.dumps({
-        "metric": f"rays/s/chip {args.mode} {args.width}x{args.height} "
-                  f"{args.spp}spp {args.scene}",
-        "value": round(value, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(value / sol, 4),
-        "total_rays_per_step": total_rays,
-        "step_seconds": round(dt, 4),
-        "ns_per_ray": round(dt / total_rays * 1e9, 3),
-        "backend": args.backend + ("+regen" if args.regen else ""),
-        "ray_chunk": ray_chunk,
-        "speed_of_light_rays_per_s": round(sol, 1),
-    }))
+    emit(dt, total_rays, tri_reach if m_pad else TRI_REACH,
+         provisional=False)
 
 
 if __name__ == "__main__":

@@ -27,7 +27,8 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
                 spp: int, sample_start=0, seed: int = 0, max_bounces: int = 5,
                 backend: str = "jnp", ray_chunk: Optional[int] = None,
                 remat: bool = False, cull_secondary: bool = False,
-                exact_argmin: bool = False, regen: bool = False):
+                exact_argmin: bool = False, regen: bool = False,
+                return_rays: bool = False):
     """Differentiable spp-mean radiance image [H,W,3].
 
     backend='fused' runs both sweeps on the fused Pallas bounce kernels
@@ -35,7 +36,10 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
     records by construction). regen=True (fused only) runs the
     persistent-wavefront trace instead (kernels/regen.make_regen_trace):
     identical estimator, ~100% lane occupancy in BOTH sweeps.
-    exact_argmin selects the bit-stable two-pass winner reduction."""
+    exact_argmin selects the bit-stable two-pass winner reduction.
+    return_rays=True additionally returns the (non-differentiable) total
+    rays-cast counter — the reference's stats metric (main.cpp:696-703) —
+    so a grad step can report it without a second forward compile."""
     fused = backend == "fused"
     if fused:
         # tile-major ray order so the fused kernels' dead-block skip fires
@@ -45,7 +49,7 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
         pixel = jnp.asarray(perm)
     else:
         pixel = jnp.arange(width * height, dtype=jnp.int32)
-    color_sum, _ = render_pixels(
+    color_sum, rays = render_pixels(
         scene, camera, pixel, width=width, height=height, spp=spp,
         sample_start=sample_start, seed=seed, max_bounces=max_bounces,
         probe_fn=probe_fn_for_backend(backend), ray_chunk=ray_chunk,
@@ -53,7 +57,10 @@ def render_mean(scene: Scene, camera: Camera, *, width: int, height: int,
         exact_argmin=exact_argmin, regen=regen)
     if fused:
         color_sum = color_sum[jnp.asarray(inv)]
-    return color_sum.reshape(height, width, 3) / jnp.float32(spp)
+    img = color_sum.reshape(height, width, 3) / jnp.float32(spp)
+    if return_rays:
+        return img, jnp.sum(rays)
+    return img
 
 
 def render_mean_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,

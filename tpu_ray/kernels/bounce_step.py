@@ -1601,6 +1601,53 @@ def trace_rays_fused(scene: Scene, origins, directions, stream_base,
     return st[9:12, :r].T, rays[:r]
 
 
+def measured_tri_reach(scene: Scene, origins, directions, stream_base,
+                       max_bounces: int, block_r: int = BLOCK_R) -> float:
+    """Measured reachable-tile fraction of the triangle list sweep.
+
+    Runs the same bounce loop as trace_rays_fused's list path on the given
+    (sub-sampled) wavefront and returns
+
+        (tile folds actually performed) / (rays cast * n_tiles)
+
+    i.e. the fraction of the full O(R*M) stream the list sweep pays for,
+    with every lane in a block group charged its group's cnt folds (dead
+    lanes included — matching bench.py's speed-of-light convention of
+    pricing per PROCESSED lane against rays CAST). This replaces the
+    hard-coded single-scene TRI_REACH constant so vs_baseline stays honest
+    for arbitrary meshes (obj scenes, other tessellations)."""
+    scene = permute_scene(scene)
+    tb = _fused_tables(scene)
+    assert tb["m_pad"] > 0, "sphere-only scene has no tri reach"
+    st, r, r_pad = _init_state(origins, directions, stream_base, block_r)
+    n_tiles = tb["m_pad"] // _TRI_TILE
+    grp = list_group(r_pad // block_r, n_tiles)
+
+    @jax.jit
+    def sweep(st):
+        folds = jnp.zeros((), jnp.float32)
+        cast = jnp.zeros((), jnp.float32)
+
+        def body(carry, b):
+            st, folds, cast = carry
+            lists = tri_block_lists(tb["tri_boxes"], st, block_r, grp)
+            folds = folds + jnp.sum(lists[0].astype(jnp.float32)) \
+                * (grp * block_r)
+            cast = cast + jnp.sum((st[12] > 0.5).astype(jnp.float32))
+            st, _ = bounce_fwd_list(
+                tb["t48"], tb["stab_full"], st, b, tb["tri_full"], lists,
+                use_sky=scene.use_sky, block_r=block_r, group=grp)
+            return (st, folds, cast), None
+
+        (st, folds, cast), _ = jax.lax.scan(
+            body, (st, folds, cast),
+            jnp.arange(max_bounces, dtype=jnp.int32))
+        return folds, cast
+
+    folds, cast = sweep(st)
+    return float(folds) / (float(cast) * n_tiles)
+
+
 @functools.lru_cache(maxsize=None)
 def make_fused_sample(width: int, height: int, seed: int, max_bounces: int,
                       block_r: int = BLOCK_R, exact_argmin: bool = False,
