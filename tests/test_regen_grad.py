@@ -283,3 +283,40 @@ def test_train_step_regen():
         state, loss = step_fn(state, target)
     assert np.isfinite(float(loss))
     assert float(loss) < float(loss0), (float(loss0), float(loss))
+
+
+@pytest.mark.parametrize("use_sky,with_tri", [(True, False), (False, False),
+                                              (True, True)])
+def test_shade_vjp_matches_autodiff(use_sky, with_tri):
+    """The hand-written `_shade` transpose (kernels/bounce_step._shade_vjp,
+    the segment backward's no-residual-stack replacement for in-kernel
+    jax.vjp) must match jax.vjp(_shade) on randomized states/winners."""
+    from tpu_ray.kernels.bounce_step import _shade, _shade_vjp
+
+    rng = np.random.default_rng(7)
+    br = 256
+    st = rng.standard_normal((16, br)).astype(np.float32)
+    st[12] = (rng.random(br) < 0.8).astype(np.float32)
+    st[3:6] /= np.linalg.norm(st[3:6], axis=0, keepdims=True)
+    w = rng.standard_normal((16, br)).astype(np.float32)
+    w[3] = np.abs(w[3]) + 0.1
+    w[10] = rng.random(br).astype(np.float32)
+    w[11] = np.where(rng.random(br) < 0.5, 0.0, 1.5).astype(np.float32)
+    live = ((st[12] > 0.5) & (rng.random(br) < 0.7))[None, :]
+    sky = (st[12] > 0.5)[None, :] & ~live
+    rand = tuple(jnp.asarray(rng.uniform(-1, 1, (1, br)), jnp.float32)
+                 for _ in range(3)) + (
+        jnp.asarray(rng.uniform(0, 1, (1, br)), jnp.float32),)
+    is_tri = jnp.asarray(rng.random((1, br)) < 0.5) if with_tri else None
+    g = rng.standard_normal((16, br)).astype(np.float32)
+    g[12] = 0.0
+
+    st, w, g = jnp.asarray(st), jnp.asarray(w), jnp.asarray(g)
+    live, sky = jnp.asarray(live), jnp.asarray(sky)
+    _, vjp = jax.vjp(
+        lambda s, ww: _shade(s, ww, live, sky, rand, use_sky, is_tri),
+        st, w)
+    d_st_ref, d_w_ref = vjp(g)
+    d_st, d_w = _shade_vjp(st, w, live, sky, rand, use_sky, g, is_tri)
+    np.testing.assert_allclose(d_st, d_st_ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(d_w, d_w_ref, rtol=2e-5, atol=2e-5)

@@ -151,7 +151,7 @@ def _regen_rays(cam_ref, st, s_next, width: int, height: int,
 
 def _step_tail(cam_ref, st, idx, hit, table_ref, *, n_pad: int, m_pad: int,
                p_pad: int, use_sky: bool, max_bounces: int, width: int,
-               height: int, film_w: float, film_h: float):
+               height: int, film_w: float, film_h: float, winner=None):
     """Everything after the search: winner gather + shading + in-lane
     regeneration. st [24,BR], idx [1,BR] i32 (winner id; only read on
     hit lanes — the gather of -1 yields a zero column and `_shade` masks
@@ -160,8 +160,11 @@ def _step_tail(cam_ref, st, idx, hit, table_ref, *, n_pad: int, m_pad: int,
     -1 on miss/dead — the regen analogue of bounce_step's hit record).
     Shared verbatim by the forward kernel (idx/hit from the search carry)
     and the replay kernel (idx from the saved record, hit = idx >= 0), so
-    replay is bit-identical to the forward by construction."""
-    winner, _ = _gather_winner(table_ref, idx, p_pad)
+    replay is bit-identical to the forward by construction. `winner`
+    optionally supplies a pre-gathered [16,BR] winner block (the segment
+    backward gathers once and stashes it for its reverse sweep)."""
+    if winner is None:
+        winner, _ = _gather_winner(table_ref, idx, p_pad)
     alive = st[12:13, :] > 0.5
     live = alive & hit
     sky_mask = alive & jnp.logical_not(hit)
@@ -397,6 +400,7 @@ def _regen_list_kernel(cam_ref, cnt_ref, lst_ref, state_ref, stab_ref,
 
 def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
                       dout_ref, dstate_ref, dtable_ref, dcam_ref, states,
+                      winners,
                       *, seg: int, n_pad: int, m_pad: int, p_pad: int,
                       use_sky: bool, max_bounces: int, width: int,
                       height: int, film_w: float, film_h: float):
@@ -404,18 +408,22 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
 
     Forward-replays `seg` steps from the segment checkpoint into VMEM
     scratch (search-free, shared `_step_tail` — states reproduce the
-    recording forward's), then sweeps them in reverse through the in-kernel
-    jax.vjp of the shade+regen chain. The camera cotangent of the
-    REGENERATED primary rays is computed in-kernel too: the differentiable
-    closure re-expresses `_regen_rays`'s film math in terms of the
-    broadcast camera rows camr_ref [16,BR] (position, film_center, cam_x,
-    cam_y — the same values `_cam13` packs), so d_camera accumulates as
-    per-lane rows in dcam_ref instead of a per-step XLA camera_rays vjp.
+    recording forward's), STASHING each step's gathered winner block, then
+    sweeps them in reverse through the HAND-WRITTEN transpose of the
+    shade+regen chain (`_shade_vjp` — r4 replacement for the in-kernel
+    jax.vjp: the linearize-then-transpose route materialized a residual
+    per nonlinear op; the fused transpose recomputes each primal inline
+    and consumes it immediately, and the winner stash removes the reverse
+    sweep's second full-table gather entirely). The camera cotangent of
+    the REGENERATED primary rays is computed in-kernel too, transposed
+    against the broadcast camera rows camr_ref [16,BR] (position,
+    film_center, cam_x, cam_y — the same values `_cam13` packs), so
+    d_camera accumulates as per-lane rows in dcam_ref instead of a
+    per-step XLA camera_rays vjp.
     vs the per-step unfused path this removes: 2 kernel launches per step,
     seg [24,R] state HBM round-trips per segment, the separate replay
-    gather+shade (the vjp primal recomputes it in-register), and seg XLA
-    raygen re-executions — measured 2026-08-19 (1080p64 headline): the
-    backward-sweep time halves.
+    gather+shade, and seg XLA raygen re-executions — measured 2026-08-19
+    (1080p64 headline): the backward-sweep time halves.
 
     Cotangent routing invariants (mirrors the retired per-step kernels):
     the regenerated o/d enter through where(fin3, ., shaded), so camera
@@ -432,8 +440,8 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     full searching forward step — the segment backward's 1.6x-over-
     3x-shade-model factor is real op volume, i.e. stack writes + second
     gather + vjp residual recompute, not a scheduling pathology.)"""
-    from tpu_ray.core.scene import F32_EPS
-    from tpu_ray.kernels.bounce_step import _dtable_delta
+    from tpu_ray.kernels.bounce_step import (_dtable_delta, _nrm3_bwd,
+                                             _nrm3_fwd, _shade_vjp)
 
     block_alive = jnp.max(chk_ref[12:13, :]) > 0.5
 
@@ -451,11 +459,13 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
         def fbody(t, st):
             states[pl.ds(t * 24, 24), :] = st
             idx = recs_ref[pl.ds(t, 1), :]
+            winner, _ = _gather_winner(table_ref, idx, p_pad)
+            winners[pl.ds(t * 16, 16), :] = winner
             out, _ = _step_tail(cam_ref, st, idx, idx >= 0, table_ref,
                                 n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
                                 use_sky=use_sky, max_bounces=max_bounces,
                                 width=width, height=height, film_w=film_w,
-                                film_h=film_h)
+                                film_h=film_h, winner=winner)
             return out
 
         jax.lax.fori_loop(0, seg, fbody, chk_ref[:])
@@ -465,7 +475,7 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
             t = seg - 1 - t2
             st = states[pl.ds(t * 24, 24), :]
             idx = recs_ref[pl.ds(t, 1), :]
-            winner, onehot = _gather_winner(table_ref, idx, p_pad)
+            winner = winners[pl.ds(t * 16, 16), :]
             alive = st[12:13, :] > 0.5
             live = alive & (idx >= 0)
             sky_mask = alive & jnp.logical_not(idx >= 0)
@@ -493,41 +503,46 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
             fx = film_x * jnp.float32(film_w) * 0.5
             fy = film_y * jnp.float32(film_h) * 0.5
 
-            def f(st16, tot3, w, cam_b):
-                # smooth rows of _step_tail's output (0-11 and 16-18), the
-                # regenerated rays differentiated through the camera rows
-                rx = cam_b[3:4] + fx * cam_b[6:7] + fy * cam_b[9:10] \
-                    - cam_b[0:1]
-                ry = cam_b[4:5] + fx * cam_b[7:8] + fy * cam_b[10:11] \
-                    - cam_b[1:2]
-                rz = cam_b[5:6] + fx * cam_b[8:9] + fy * cam_b[11:12] \
-                    - cam_b[2:3]
-                lsq = rx * rx + ry * ry + rz * rz
-                ok = lsq > F32_EPS
-                inv = 1.0 / jnp.sqrt(jnp.where(ok, lsq, 1.0))
-                zf = jnp.zeros_like(rx)
-                d3 = jnp.concatenate([jnp.where(ok, rx * inv, zf),
-                                      jnp.where(ok, ry * inv, zf),
-                                      jnp.where(ok, rz * inv, zf)], axis=0)
-                shaded = _shade(st16, w, live, sky_mask, rand, use_sky,
-                                is_tri)
-                out_a = jnp.concatenate([
-                    jnp.where(fin3, cam_b[0:3, :], shaded[0:3, :]),
-                    jnp.where(fin3, d3, shaded[3:6, :]),
-                    jnp.where(fin3, 1.0, shaded[6:9, :]),
-                    jnp.where(fdone3, 0.0, shaded[9:12, :]),
-                ], axis=0)
-                tot_out = tot3 + jnp.where(fdone3, shaded[9:12, :], 0.0)
-                return out_a, tot_out
+            # ---- hand transpose of _step_tail's smooth rows ----
+            # out rows: 0:3 where(fin3, cam_pos, shaded) / 3:6 where(fin3,
+            # d3, shaded) / 6:9 where(fin3, 1, shaded) / 9:12 where(fdone3,
+            # 0, shaded); total += where(fdone3, shaded[9:12], 0)
+            g_out = d_st[0:12, :]
+            g_tot = d_st[16:19, :]
+            zf = jnp.zeros_like(g_tot[0:1, :])
+            g16 = jnp.concatenate([
+                jnp.where(fin3, 0.0, g_out[0:3, :]),
+                jnp.where(fin3, 0.0, g_out[3:6, :]),
+                jnp.where(fin3, 0.0, g_out[6:9, :]),
+                jnp.where(fdone3, g_tot, g_out[9:12, :]),
+                jnp.zeros((4, br), jnp.float32),
+            ], axis=0)
+            d_st16, d_wn = _shade_vjp(st[0:16], winner, live, sky_mask,
+                                      rand, use_sky, g16, is_tri)
 
+            # camera cotangent of the regenerated rays: transpose of
+            # d3 = normalize_eps(fc + fx cam_x + fy cam_y - pos)
             cam_b = camr_ref[:]
-            _, vjp_fn = jax.vjp(f, st[0:16], st[16:19], winner, cam_b)
-            d_st16, d_tot3, d_wn, d_cb = vjp_fn((d_st[0:12, :],
-                                                 d_st[16:19, :]))
+            g_d3 = jnp.where(fin3, g_out[3:6, :], 0.0)
+            rx = cam_b[3:4] + fx * cam_b[6:7] + fy * cam_b[9:10] \
+                - cam_b[0:1]
+            ry = cam_b[4:5] + fx * cam_b[7:8] + fy * cam_b[10:11] \
+                - cam_b[1:2]
+            rz = cam_b[5:6] + fx * cam_b[8:9] + fy * cam_b[11:12] \
+                - cam_b[2:3]
+            nx, ny, nz, inv, ok = _nrm3_fwd(rx, ry, rz)
+            d_rx, d_ry, d_rz = _nrm3_bwd(nx, ny, nz, inv, ok,
+                                         g_d3[0:1, :], g_d3[1:2, :],
+                                         g_d3[2:3, :])
+            d_rvec = jnp.concatenate([d_rx, d_ry, d_rz], axis=0)
+            dcam = dcam + jnp.concatenate([
+                jnp.where(fin3, g_out[0:3, :], 0.0) - d_rvec,
+                d_rvec, fx * d_rvec, fy * d_rvec,
+                jnp.zeros((4, br), jnp.float32),
+            ], axis=0)
+            dtab = dtab + _dtable_delta(d_wn, idx, p_pad)
             zeros5 = jnp.zeros((5, br), jnp.float32)
-            dcam = dcam + d_cb
-            dtab = dtab + _dtable_delta(d_wn, idx, p_pad, onehot)
-            return (jnp.concatenate([d_st16, d_tot3, zeros5], axis=0),
+            return (jnp.concatenate([d_st16, g_tot, zeros5], axis=0),
                     dtab, dcam)
 
         d0, dtab, dcam = jax.lax.fori_loop(
@@ -734,7 +749,8 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
             jax.ShapeDtypeStruct((n_blocks * 16, p_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * 16, block_r), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((seg * 24, block_r), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((seg * 24, block_r), jnp.float32),
+                        pltpu.VMEM((seg * 16, block_r), jnp.float32)],
         # the segment cotangent updates in place (d_out input 5 ->
         # d_state output 0): one [24,R] HBM copy per segment saved in
         # the reverse scan
