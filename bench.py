@@ -205,9 +205,10 @@ def main():
                     help="fused backend: persistent-wavefront sample "
                          "regeneration (kernels/regen.py), fwd AND fwd+bwd "
                          "(custom VJP, segment-fused backward). Default: ON "
-                         "except for triangle-soup GRADIENT steps (regen's "
-                         "replay repeats the big-table gathers; measured "
-                         "loss there, win everywhere else — BASELINE.md)")
+                         "for every fused route — r4's record-derived "
+                         "gather lists + per-block replay bounds flipped "
+                         "the last holdout, the triangle-soup gradient "
+                         "(6.13M regen vs 5.68M without — BASELINE.md)")
     args = ap.parse_args()
 
     from tpu_ray import make_scene, default_camera
@@ -241,11 +242,10 @@ def main():
     if args.cull_secondary:
         kw["cull_secondary"] = True
     if args.regen is None:
-        # measured defaults (BASELINE.md r3): regen wins everywhere
-        # except the triangle GRADIENT step, where the segment backward
-        # repeats the expensive big-table gathers per replay step
-        args.regen = args.backend == "fused" and (
-            scene.tris is None or args.mode == "fwd")
+        # measured default (BASELINE.md r4): regen wins on every route,
+        # including the triangle gradient step since the segment backward
+        # gained record-derived gather-tile lists + per-block step bounds
+        args.regen = args.backend == "fused"
     if args.regen:
         assert args.backend == "fused", (
             "--regen is the fused persistent wavefront")

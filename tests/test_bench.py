@@ -41,16 +41,15 @@ def test_bench_headline_contract(mode):
 
 
 def test_bench_default_routing_dry():
-    # measured defaults (BASELINE.md r3): regen ON for trimesh forward
-    # (wins with the resident list sweep + slab chunking), OFF for the
-    # trimesh gradient step (the segment backward repeats the big-table
-    # gathers per replay step and loses); tri scenes chunk at 43200,
-    # sphere scenes at 86400
+    # measured defaults (BASELINE.md r4): regen ON for every fused route
+    # — the r4 segment backward (record-derived gather lists, per-block
+    # replay bounds) flipped the triangle gradient step too; tri scenes
+    # chunk at 43200, sphere scenes at 86400
     row = _run(["--mode", "fwd", "--scene", "trimesh", "--dry-run"])
     assert row["backend"] == "fused+regen", row["backend"]
     assert row["ray_chunk"] == 43200, row["ray_chunk"]
     row = _run(["--mode", "fwd+bwd", "--scene", "trimesh", "--dry-run"])
-    assert row["backend"] == "fused", row["backend"]
+    assert row["backend"] == "fused+regen", row["backend"]
     row = _run(["--mode", "fwd+bwd", "--dry-run"])
     assert row["backend"] == "fused+regen", row["backend"]
     assert row["ray_chunk"] == 86400, row["ray_chunk"]

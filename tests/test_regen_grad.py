@@ -320,3 +320,44 @@ def test_shade_vjp_matches_autodiff(use_sky, with_tri):
     d_st, d_w = _shade_vjp(st, w, live, sky, rand, use_sky, g, is_tri)
     np.testing.assert_allclose(d_st, d_st_ref, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(d_w, d_w_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_regen_grad_big_table_list_gathers():
+    """p_pad > _GATHER_TILE routes the segment backward through the
+    record-derived gather-tile lists (gather_tile_lists + the rt-layout
+    table/d_table) — gradients must match the fused per-sample sweep
+    exactly as the small-table path does."""
+    from tpu_ray.core.scene import make_trimesh_scene
+    from tpu_ray.kernels.bounce_step import _GATHER_TILE, make_fused_sample
+
+    scene = make_trimesh_scene(subdivisions=3)   # 2562 tris -> p_pad > 1024
+    p_pad = scene.n_pad + scene.tris.n_pad
+    assert p_pad > _GATHER_TILE, p_pad
+    cam = default_camera(scene)
+    px = _pix()
+    wts = _wts(px.shape[0], seed=3)
+    tr = make_regen_trace(W, H, 0, MB, SPP, seg=4)
+
+    def loss_regen(scene, cam):
+        c, _ = tr(scene, cam, px, 0)
+        return jnp.sum(c * wts)
+
+    fused = make_fused_sample(W, H, 0, MB)
+
+    def loss_fused(scene, cam):
+        tot = jnp.zeros(())
+        for s in range(SPP):
+            c, _ = fused(scene, cam, px, jnp.uint32(s))
+            tot = tot + jnp.sum(c * wts)
+        return tot
+
+    gr_s, gr_c = _grads(loss_regen)(scene, cam)
+    gf_s, gf_c = _grads(loss_fused)(scene, cam)
+    got = _leaf_groups(gr_s, gr_c)
+    want = _leaf_groups(gf_s, gf_c)
+    for key in want:
+        a = np.asarray(got[key], np.float64)
+        b = np.asarray(want[key], np.float64)
+        denom = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b).max() / denom
+        assert rel < 3e-3, (key, rel)

@@ -690,6 +690,96 @@ def _onehot_tile(idx, p0: int, pb: int):
     return (rows == idx).astype(jnp.bfloat16)
 
 
+def gather_table_rt(table48, n_gt: int):
+    """Host-side re-layout of a [48,P] chunk table for LIST-driven winner
+    gathers: zero-pad P to n_gt*_GATHER_TILE columns and stack the column
+    tiles on the sublane axis -> [n_gt*48, _GATHER_TILE], so a kernel can
+    slice tile ti with pl.ds(ti*48, 48) (sublane dynamic slices are the
+    Mosaic-supported direction; lane-axis dynamic slices are not)."""
+    p_pad = table48.shape[1]
+    p_gt = n_gt * _GATHER_TILE
+    if p_gt > p_pad:
+        table48 = jnp.concatenate(
+            [table48, jnp.zeros((48, p_gt - p_pad), table48.dtype)], axis=1)
+    return (table48.reshape(48, n_gt, _GATHER_TILE)
+            .swapaxes(0, 1).reshape(n_gt * 48, _GATHER_TILE))
+
+
+def _gather_winner_list(t48r_ref, idx, cnt, tile_at):
+    """`_gather_winner` folding ONLY the gather tiles in this block's
+    record-derived list: winners can live only in tiles some record names,
+    so the skipped tiles contribute zero columns by construction. t48r_ref
+    [n_gt*48, GT] (gather_table_rt layout), cnt scalar i32, tile_at(k) ->
+    tile id scalar (SMEM read). ~cnt/n_gt of the full gather's MXU+VPU
+    work — the big-table term that made regen lose the trimesh gradient."""
+    br = idx.shape[1]
+
+    def body(k, w48):
+        ti = tile_at(k)
+        rows = t48r_ref[pl.ds(ti * 48, 48), :]
+        oh = _onehot_tile(idx - ti * _GATHER_TILE, 0, _GATHER_TILE)
+        return w48 + jnp.dot(rows, oh,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+    w48 = jax.lax.fori_loop(0, cnt, body,
+                            jnp.zeros((48, br), jnp.float32))
+    return w48[0:16, :] + w48[16:32, :] + w48[32:48, :]
+
+
+def _scatter_dtable_list(dtab_s, d_wn, idx, cnt, tile_at):
+    """List-driven form of `_scatter_dtable`, accumulating into a VMEM
+    scratch in the gather_table_rt SUBLANE-stacked layout [n_gt*16, GT]
+    (host reassembles via dtable_rt_to_flat): only listed tiles pay the
+    one-hot build + transpose matmul + accumulate."""
+    c1, c2, c3 = _split3_bf16(
+        d_wn, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    c = jnp.concatenate([c1, c2, c3], axis=0)              # [48,BR]
+
+    def body(k, _):
+        ti = tile_at(k)
+        oh = _onehot_tile(idx - ti * _GATHER_TILE, 0, _GATHER_TILE)
+        d48 = jax.lax.dot_general(
+            c, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # [48,GT]
+        d16 = d48[0:16, :] + d48[16:32, :] + d48[32:48, :]
+        dtab_s[pl.ds(ti * 16, 16), :] = dtab_s[pl.ds(ti * 16, 16), :] + d16
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+def dtable_rt_to_flat(d_rt, p_pad: int):
+    """[n_gt*16, GT] sublane-stacked d_table partial -> [16, p_pad]."""
+    n_gt = d_rt.shape[0] // 16
+    return (d_rt.reshape(n_gt, 16, _GATHER_TILE).swapaxes(0, 1)
+            .reshape(16, n_gt * _GATHER_TILE)[:, :p_pad])
+
+
+def gather_tile_lists(recs, br_bwd: int, n_gt: int):
+    """Per-(segment, backward ray block) compacted gather-tile lists from
+    the saved winner records: tile ti is listed iff some record in that
+    (segment, block) names a primitive in it. recs [n_seg, seg, R] i32
+    (-1 = miss/dead). -> (cnt [n_seg, 1, B] i32, lst [n_seg, n_gt, B] i32,
+    reachable tiles first, ascending id) — block-MINOR layout, because
+    SMEM windows pad the minor dim to 128 lanes (a [B,1] table at B ~8k
+    blocks compiles to 4 MB of SMEM and OOMs; [1,B] is 32 KB). The
+    backward analogue of tri_block_lists, driven by RECORDS (exact
+    winners) instead of geometry — sharper, and free: the records
+    already exist."""
+    n_seg, seg, r_pad = recs.shape
+    n_b = r_pad // br_bwd
+    tid = recs.reshape(n_seg, seg, n_b, br_bwd)
+    tid = jnp.where(tid >= 0, tid // _GATHER_TILE, -1)
+    pres = jnp.stack([(tid == t).any(axis=(1, 3))
+                      for t in range(n_gt)], axis=-1)      # [n_seg,B,n_gt]
+    cnt = pres.sum(-1).astype(jnp.int32)[:, None, :]       # [n_seg,1,B]
+    lst = jnp.argsort(jnp.logical_not(pres),
+                      axis=-1).astype(jnp.int32).swapaxes(1, 2)
+    return cnt, lst
+
+
 def _dtable_delta(d_wn, idx, p_pad: int, onehot=None):
     """Gather transpose on the MXU, same exact 3-chunk bf16 scheme, tiled
     like _gather_winner: -> this block's d_table contribution [16, P]

@@ -283,7 +283,9 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
     def _():
         out_ref[:] = state_ref[:]
         if with_idx:
-            idx_ref[:] = jnp.full_like(idx_ref, -1)
+            # -2 (vs -1 = lane miss): the whole BLOCK was dead this step —
+            # the backward derives per-block replay bounds from lane 0
+            idx_ref[:] = jnp.full_like(idx_ref, -2)
 
     @pl.when((j == n_tiles - 1) & block_alive)
     def _():
@@ -329,7 +331,9 @@ def _regen_list_kernel(cam_ref, cnt_ref, lst_ref, state_ref, stab_ref,
     def _():
         out_ref[:] = state_ref[:]
         if with_idx:
-            idx_ref[:] = jnp.full_like(idx_ref, -1)
+            # -2 (vs -1 = lane miss): the whole BLOCK was dead this step —
+            # the backward derives per-block replay bounds from lane 0
+            idx_ref[:] = jnp.full_like(idx_ref, -2)
 
     @pl.when(block_alive)
     def _():
@@ -399,11 +403,11 @@ def _regen_list_kernel(cam_ref, cnt_ref, lst_ref, state_ref, stab_ref,
 
 
 def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
-                      dout_ref, dstate_ref, dtable_ref, dcam_ref, states,
-                      winners,
-                      *, seg: int, n_pad: int, m_pad: int, p_pad: int,
+                      dout_ref, *refs,
+                      seg: int, n_pad: int, m_pad: int, p_pad: int,
                       use_sky: bool, max_bounces: int, width: int,
-                      height: int, film_w: float, film_h: float):
+                      height: int, film_w: float, film_h: float,
+                      use_list: bool = False, n_gt: int = 0):
     """One SEGMENT of the regen backward in a single kernel launch.
 
     Forward-replays `seg` steps from the segment checkpoint into VMEM
@@ -439,119 +443,147 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     per alive block-step the search-free replay costs ~as much as the
     full searching forward step — the segment backward's 1.6x-over-
     3x-shade-model factor is real op volume, i.e. stack writes + second
-    gather + vjp residual recompute, not a scheduling pathology.)"""
-    from tpu_ray.kernels.bounce_step import (_dtable_delta, _nrm3_bwd,
-                                             _nrm3_fwd, _shade_vjp)
+    gather + vjp residual recompute, not a scheduling pathology.)
 
-    block_alive = jnp.max(chk_ref[12:13, :]) > 0.5
+    use_list=True (big tables, p_pad > _GATHER_TILE): table_ref is the
+    gather_table_rt sublane-stacked layout, refs lead with this block's
+    record-derived gather-tile list (cnt/lst SMEM, gather_tile_lists),
+    both gathers fold ONLY listed tiles, and the d_table partial
+    accumulates in a sublane-stacked VMEM scratch (dtable_rt_to_flat on
+    the host) — the trimesh-gradient fix: the full-table one-hot gathers
+    were ~15 ns/lane-step at p_pad ~10.5k and winners touch only 1-3 of
+    the 11 tiles."""
+    from tpu_ray.kernels.bounce_step import (
+        _dtable_delta, _gather_winner_list, _nrm3_bwd, _nrm3_fwd,
+        _scatter_dtable_list, _shade_vjp)
 
-    @pl.when(jnp.logical_not(block_alive))
-    def _():
-        # the whole segment was the identity on this (dead) block
-        dstate_ref[:] = dout_ref[:]
-        dtable_ref[:] = jnp.zeros_like(dtable_ref)
-        dcam_ref[:] = jnp.zeros_like(dcam_ref)
+    i = pl.program_id(0)
+    thi_ref = refs[0]
+    if use_list:
+        cnt_ref, lst_ref = refs[1:3]
+        dstate_ref, dtable_ref, dcam_ref, states, winners, dtab_s = refs[3:]
+        cnt = cnt_ref[0, i]
+        tile_at = lambda k: lst_ref[k, i]
+    else:
+        dstate_ref, dtable_ref, dcam_ref, states, winners = refs[1:]
 
-    @pl.when(block_alive)
-    def _():
-        br = chk_ref.shape[1]
+    # per-block replay bound: this block's last alive step within the
+    # segment + 1, derived host-side from the -2 dead-block record
+    # sentinel. Steps >= thi were identities on this block (forward
+    # skipped them), so the replay and the reverse sweep skip them too —
+    # a block dying mid-segment (or a short trace under a long seg) no
+    # longer pays tail steps; thi = 0 reduces to the old dead-block
+    # branch (cotangent passes through, zero partials).
+    thi = thi_ref[0, i]
 
-        def fbody(t, st):
-            states[pl.ds(t * 24, 24), :] = st
-            idx = recs_ref[pl.ds(t, 1), :]
+    br = chk_ref.shape[1]
+
+    def fbody(t, st):
+        states[pl.ds(t * 24, 24), :] = st
+        idx = recs_ref[pl.ds(t, 1), :]
+        if use_list:
+            winner = _gather_winner_list(table_ref, idx, cnt, tile_at)
+        else:
             winner, _ = _gather_winner(table_ref, idx, p_pad)
-            winners[pl.ds(t * 16, 16), :] = winner
-            out, _ = _step_tail(cam_ref, st, idx, idx >= 0, table_ref,
-                                n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
-                                use_sky=use_sky, max_bounces=max_bounces,
-                                width=width, height=height, film_w=film_w,
-                                film_h=film_h, winner=winner)
-            return out
+        winners[pl.ds(t * 16, 16), :] = winner
+        out, _ = _step_tail(cam_ref, st, idx, idx >= 0, table_ref,
+                            n_pad=n_pad, m_pad=m_pad, p_pad=p_pad,
+                            use_sky=use_sky, max_bounces=max_bounces,
+                            width=width, height=height, film_w=film_w,
+                            film_h=film_h, winner=winner)
+        return out
 
-        jax.lax.fori_loop(0, seg, fbody, chk_ref[:])
+    if use_list:
+        dtab_s[:] = jnp.zeros_like(dtab_s)
+    jax.lax.fori_loop(0, thi, fbody, chk_ref[:])
 
-        def bbody(t2, carry):
-            d_st, dtab, dcam = carry
-            t = seg - 1 - t2
-            st = states[pl.ds(t * 24, 24), :]
-            idx = recs_ref[pl.ds(t, 1), :]
-            winner = winners[pl.ds(t * 16, 16), :]
-            alive = st[12:13, :] > 0.5
-            live = alive & (idx >= 0)
-            sky_mask = alive & jnp.logical_not(idx >= 0)
-            is_tri = (idx >= n_pad) if m_pad else None
-            rand = _rand_draws_ch(st)
-            # control closures, recomputed exactly as _step_tail's
-            b_next = st[15:16, :] + 1.0
-            cont = live & (b_next < jnp.float32(max_bounces))
-            finished = alive & jnp.logical_not(cont)
-            s_next = st[14:15, :] + jnp.where(finished, 1.0, 0.0)
-            has_more = finished & (s_next < cam_ref[0, 12])
-            fin3 = jnp.broadcast_to(has_more, (3, br))
-            fdone3 = jnp.broadcast_to(finished, (3, br))
-            # jitter/film constants of the regenerated rays (no camera
-            # dependence; same draws as _regen_rays)
-            h1 = _u32(st[21:22, :])
-            base = _pcg_hash(h1 + pltpu.bitcast(
-                s_next.astype(jnp.int32), jnp.uint32)
-                * jnp.uint32(_MIX_SAMPLE))
-            zero_u = jnp.uint32(0)
-            jx = _draw(base, zero_u, 4, -0.5, 0.5)
-            jy = _draw(base, zero_u, 5, -0.5, 0.5)
-            film_x = -1.0 + ((st[19:20, :] + jx) * 2.0) / jnp.float32(width)
-            film_y = -1.0 + ((st[20:21, :] + jy) * 2.0) / jnp.float32(height)
-            fx = film_x * jnp.float32(film_w) * 0.5
-            fy = film_y * jnp.float32(film_h) * 0.5
+    def bbody(t2, carry):
+        d_st, dtab, dcam = carry
+        t = thi - 1 - t2
+        st = states[pl.ds(t * 24, 24), :]
+        idx = recs_ref[pl.ds(t, 1), :]
+        winner = winners[pl.ds(t * 16, 16), :]
+        alive = st[12:13, :] > 0.5
+        live = alive & (idx >= 0)
+        sky_mask = alive & jnp.logical_not(idx >= 0)
+        is_tri = (idx >= n_pad) if m_pad else None
+        rand = _rand_draws_ch(st)
+        # control closures, recomputed exactly as _step_tail's
+        b_next = st[15:16, :] + 1.0
+        cont = live & (b_next < jnp.float32(max_bounces))
+        finished = alive & jnp.logical_not(cont)
+        s_next = st[14:15, :] + jnp.where(finished, 1.0, 0.0)
+        has_more = finished & (s_next < cam_ref[0, 12])
+        fin3 = jnp.broadcast_to(has_more, (3, br))
+        fdone3 = jnp.broadcast_to(finished, (3, br))
+        # jitter/film constants of the regenerated rays (no camera
+        # dependence; same draws as _regen_rays)
+        h1 = _u32(st[21:22, :])
+        base = _pcg_hash(h1 + pltpu.bitcast(
+            s_next.astype(jnp.int32), jnp.uint32)
+            * jnp.uint32(_MIX_SAMPLE))
+        zero_u = jnp.uint32(0)
+        jx = _draw(base, zero_u, 4, -0.5, 0.5)
+        jy = _draw(base, zero_u, 5, -0.5, 0.5)
+        film_x = -1.0 + ((st[19:20, :] + jx) * 2.0) / jnp.float32(width)
+        film_y = -1.0 + ((st[20:21, :] + jy) * 2.0) / jnp.float32(height)
+        fx = film_x * jnp.float32(film_w) * 0.5
+        fy = film_y * jnp.float32(film_h) * 0.5
 
-            # ---- hand transpose of _step_tail's smooth rows ----
-            # out rows: 0:3 where(fin3, cam_pos, shaded) / 3:6 where(fin3,
-            # d3, shaded) / 6:9 where(fin3, 1, shaded) / 9:12 where(fdone3,
-            # 0, shaded); total += where(fdone3, shaded[9:12], 0)
-            g_out = d_st[0:12, :]
-            g_tot = d_st[16:19, :]
-            zf = jnp.zeros_like(g_tot[0:1, :])
-            g16 = jnp.concatenate([
-                jnp.where(fin3, 0.0, g_out[0:3, :]),
-                jnp.where(fin3, 0.0, g_out[3:6, :]),
-                jnp.where(fin3, 0.0, g_out[6:9, :]),
-                jnp.where(fdone3, g_tot, g_out[9:12, :]),
-                jnp.zeros((4, br), jnp.float32),
-            ], axis=0)
-            d_st16, d_wn = _shade_vjp(st[0:16], winner, live, sky_mask,
-                                      rand, use_sky, g16, is_tri)
+        # ---- hand transpose of _step_tail's smooth rows ----
+        # out rows: 0:3 where(fin3, cam_pos, shaded) / 3:6 where(fin3,
+        # d3, shaded) / 6:9 where(fin3, 1, shaded) / 9:12 where(fdone3,
+        # 0, shaded); total += where(fdone3, shaded[9:12], 0)
+        g_out = d_st[0:12, :]
+        g_tot = d_st[16:19, :]
+        zf = jnp.zeros_like(g_tot[0:1, :])
+        g16 = jnp.concatenate([
+            jnp.where(fin3, 0.0, g_out[0:3, :]),
+            jnp.where(fin3, 0.0, g_out[3:6, :]),
+            jnp.where(fin3, 0.0, g_out[6:9, :]),
+            jnp.where(fdone3, g_tot, g_out[9:12, :]),
+            jnp.zeros((4, br), jnp.float32),
+        ], axis=0)
+        d_st16, d_wn = _shade_vjp(st[0:16], winner, live, sky_mask,
+                                  rand, use_sky, g16, is_tri)
 
-            # camera cotangent of the regenerated rays: transpose of
-            # d3 = normalize_eps(fc + fx cam_x + fy cam_y - pos)
-            cam_b = camr_ref[:]
-            g_d3 = jnp.where(fin3, g_out[3:6, :], 0.0)
-            rx = cam_b[3:4] + fx * cam_b[6:7] + fy * cam_b[9:10] \
-                - cam_b[0:1]
-            ry = cam_b[4:5] + fx * cam_b[7:8] + fy * cam_b[10:11] \
-                - cam_b[1:2]
-            rz = cam_b[5:6] + fx * cam_b[8:9] + fy * cam_b[11:12] \
-                - cam_b[2:3]
-            nx, ny, nz, inv, ok = _nrm3_fwd(rx, ry, rz)
-            d_rx, d_ry, d_rz = _nrm3_bwd(nx, ny, nz, inv, ok,
-                                         g_d3[0:1, :], g_d3[1:2, :],
-                                         g_d3[2:3, :])
-            d_rvec = jnp.concatenate([d_rx, d_ry, d_rz], axis=0)
-            dcam = dcam + jnp.concatenate([
-                jnp.where(fin3, g_out[0:3, :], 0.0) - d_rvec,
-                d_rvec, fx * d_rvec, fy * d_rvec,
-                jnp.zeros((4, br), jnp.float32),
-            ], axis=0)
+        # camera cotangent of the regenerated rays: transpose of
+        # d3 = normalize_eps(fc + fx cam_x + fy cam_y - pos)
+        cam_b = camr_ref[:]
+        g_d3 = jnp.where(fin3, g_out[3:6, :], 0.0)
+        rx = cam_b[3:4] + fx * cam_b[6:7] + fy * cam_b[9:10] \
+            - cam_b[0:1]
+        ry = cam_b[4:5] + fx * cam_b[7:8] + fy * cam_b[10:11] \
+            - cam_b[1:2]
+        rz = cam_b[5:6] + fx * cam_b[8:9] + fy * cam_b[11:12] \
+            - cam_b[2:3]
+        nx, ny, nz, inv, ok = _nrm3_fwd(rx, ry, rz)
+        d_rx, d_ry, d_rz = _nrm3_bwd(nx, ny, nz, inv, ok,
+                                     g_d3[0:1, :], g_d3[1:2, :],
+                                     g_d3[2:3, :])
+        d_rvec = jnp.concatenate([d_rx, d_ry, d_rz], axis=0)
+        dcam = dcam + jnp.concatenate([
+            jnp.where(fin3, g_out[0:3, :], 0.0) - d_rvec,
+            d_rvec, fx * d_rvec, fy * d_rvec,
+            jnp.zeros((4, br), jnp.float32),
+        ], axis=0)
+        if use_list:
+            _scatter_dtable_list(dtab_s, d_wn, idx, cnt, tile_at)
+        else:
             dtab = dtab + _dtable_delta(d_wn, idx, p_pad)
-            zeros5 = jnp.zeros((5, br), jnp.float32)
-            return (jnp.concatenate([d_st16, g_tot, zeros5], axis=0),
-                    dtab, dcam)
+        zeros5 = jnp.zeros((5, br), jnp.float32)
+        return (jnp.concatenate([d_st16, g_tot, zeros5], axis=0),
+                dtab, dcam)
 
-        d0, dtab, dcam = jax.lax.fori_loop(
-            0, seg, bbody,
-            (dout_ref[:], jnp.zeros((16, p_pad), jnp.float32),
-             jnp.zeros((16, br), jnp.float32)))
-        dstate_ref[:] = d0
-        dtable_ref[:] = dtab
-        dcam_ref[:] = dcam
+    d0, dtab, dcam = jax.lax.fori_loop(
+        0, thi, bbody,
+        (dout_ref[:],
+         jnp.zeros((1, 1), jnp.float32) if use_list
+         else jnp.zeros((16, p_pad), jnp.float32),
+         jnp.zeros((16, br), jnp.float32)))
+    dstate_ref[:] = d0
+    dtable_ref[:] = dtab_s[:] if use_list else dtab
+    dcam_ref[:] = dcam
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -693,32 +725,76 @@ def regen_step(cam13, table48, stab, state, tri_tab=None, tri_lists=None,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "seg", "use_sky", "block_r", "max_bounces", "width", "height", "m_pad"))
-def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
+    "seg", "use_sky", "block_r", "max_bounces", "width", "height", "m_pad",
+    "n_pad"))
+def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, thi,
+                  gather_lists=None, *, seg: int,
                   use_sky: bool, max_bounces: int, width: int, height: int,
-                  m_pad: int = 0, block_r: int = BLOCK_R):
+                  m_pad: int = 0, block_r: int = BLOCK_R,
+                  n_pad: int | None = None):
     """Reverse of one `seg`-step segment from its checkpoint state.
 
     cam16 [16, block_r]: the 12 `_cam13` basis values broadcast across
     lanes (+4 zero rows) — the differentiable camera operand. chk [24,R]
     segment checkpoint, recs [seg,R] i32 winner records, d_out [24,R]
-    cotangent at the segment END. -> (d_state at segment START [24,R],
+    cotangent at the segment END. thi [1, B] i32: per-block last-alive
+    step + 1 within this segment (from the -2 record sentinel) — the
+    replay/reverse loops run exactly that many steps per block.
+    -> (d_state at segment START [24,R],
     d_table PARTIALS [B*16,P] — one [16,P] row block per ray block,
     reduce with _sum_blocks; d_camrows PARTIALS [B*16,block_r] likewise,
     then sum over lanes and feed the `_cam13`-rows vjp). Per-block
-    partial outputs keep the grid parallel (kernel docstring)."""
+    partial outputs keep the grid parallel (kernel docstring).
+
+    gather_lists (cnt [B,1], lst [B,n_gt] from gather_tile_lists): list-
+    driven gathers for big tables — table48 must then be the
+    gather_table_rt layout [n_gt*48, GT], and the d_table partials come
+    back sublane-stacked ([B*n_gt*16, GT]; reassemble per block with
+    dtable_rt_to_flat)."""
     from tpu_ray.core.camera import film_extent
+    from tpu_ray.kernels.bounce_step import _GATHER_TILE
     film_w, film_h = film_extent(width, height)
-    p_pad = table48.shape[1]
+    use_list = gather_lists is not None
     r_tot = chk.shape[1]
     n_blocks = r_tot // block_r
     m_pad = int(m_pad)
+    if use_list:
+        cnt, lst = gather_lists
+        n_gt = lst.shape[0]
+        assert table48.shape == (n_gt * 48, _GATHER_TILE), table48.shape
+        # the padded id space: the true sphere/tri split must come in via
+        # n_pad (p_pad - m_pad would misplace the is_tri boundary)
+        assert n_pad is not None, "use_list needs the true n_pad"
+        p_pad = n_gt * _GATHER_TILE
+        assert cnt.shape == (1, n_blocks) and lst.shape == (n_gt, n_blocks)
+        list_in = [cnt, lst]
+        list_specs = [
+            pl.BlockSpec((1, n_blocks), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_gt, n_blocks), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        table_spec = pl.BlockSpec((n_gt * 48, _GATHER_TILE),
+                                  lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        dtab_rows, dtab_cols = n_gt * 16, _GATHER_TILE
+        extra_scratch = [pltpu.VMEM((n_gt * 16, _GATHER_TILE), jnp.float32)]
+    else:
+        p_pad = table48.shape[1]
+        n_gt = 0
+        list_in, list_specs = [], []
+        table_spec = pl.BlockSpec((48, p_pad), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        dtab_rows, dtab_cols = 16, p_pad
+        extra_scratch = []
     return pl.pallas_call(
-        functools.partial(_regen_seg_kernel, seg=seg, n_pad=p_pad - m_pad,
+        functools.partial(_regen_seg_kernel, seg=seg,
+                          n_pad=(p_pad - m_pad) if n_pad is None else n_pad,
                           m_pad=m_pad, p_pad=p_pad, use_sky=use_sky,
                           max_bounces=max_bounces, width=width,
                           height=height, film_w=float(film_w),
-                          film_h=float(film_h)),
+                          film_h=float(film_h), use_list=use_list,
+                          n_gt=n_gt),
         grid=(r_tot // block_r,),
         in_specs=[
             pl.BlockSpec((1, 13), lambda i: (0, 0),
@@ -729,28 +805,32 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((seg, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((48, p_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            table_spec,
             pl.BlockSpec((24, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            *list_specs,
         ],
         out_specs=[
             pl.BlockSpec((24, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             # per-BLOCK d_table / d_cam partials (row block i): no shared
             # accumulator, so the grid dimension stays parallel
-            pl.BlockSpec((16, p_pad), lambda i: (i, 0),
+            pl.BlockSpec((dtab_rows, dtab_cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, block_r), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((24, r_tot), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks * 16, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * dtab_rows, dtab_cols),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * 16, block_r), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((seg * 24, block_r), jnp.float32),
-                        pltpu.VMEM((seg * 16, block_r), jnp.float32)],
+                        pltpu.VMEM((seg * 16, block_r), jnp.float32),
+                        *extra_scratch],
         # the segment cotangent updates in place (d_out input 5 ->
         # d_state output 0): one [24,R] HBM copy per segment saved in
         # the reverse scan
@@ -758,7 +838,7 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, *, seg: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(cam13, cam16, chk, recs, table48, d_out)
+    )(cam13, cam16, chk, recs, table48, d_out, thi, *list_in)
 
 
 def _sum_blocks(x, rows: int):
@@ -916,6 +996,10 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
     from tpu_ray.ops.raygen import camera_rays
 
     k_max = spp * max_bounces
+    # short traces (k_max < seg): clamp so the one segment kernel does not
+    # replay seg - k_max pure-tail steps on every alive block (spp 2 at 5
+    # bounces under the default seg=16 was paying 16 steps for <=10)
+    seg = min(seg, k_max)
     n_seg = max(1, -(-k_max // seg))
     k_pad = n_seg * seg
 
@@ -938,7 +1022,7 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                                   width, height, block_r)
         r_pad = st.shape[1]
         use_list, grp = _list_mode(tb, r_pad, block_r)
-        ib = jnp.full((k_pad, r_pad), -1, jnp.int16)
+        ib = jnp.full((k_pad, r_pad), -2, jnp.int16)
         cb = jnp.zeros((n_seg, 24, r_pad), jnp.float32)
 
         def cond(carry):
@@ -999,8 +1083,34 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
         br_bwd = block_r if t48.shape[1] <= 4096 else min(block_r, 256)
         cam16 = jnp.broadcast_to(rows16.reshape(16, 1), (16, br_bwd))
 
+        # Big tables: record-derived gather-tile lists (the winners of a
+        # (segment, block) cluster in 1-3 of the ceil(P/1024) gather tiles
+        # — Morton scene order x tile-major rays), so both segment-kernel
+        # gathers and the d_table scatter fold only listed tiles.
+        from tpu_ray.kernels.bounce_step import (
+            _GATHER_TILE, dtable_rt_to_flat, gather_table_rt,
+            gather_tile_lists)
+        p_pad = t48.shape[1]
+        n_gt = -(-p_pad // _GATHER_TILE)
+        use_list = n_gt > 1
+        if use_list:
+            t48k = gather_table_rt(t48, n_gt)
+            cnt_all, lst_all = gather_tile_lists(
+                ib.astype(jnp.int32).reshape(n_seg, seg, r_pad),
+                br_bwd, n_gt)
+            n_pad_true = scene.n_pad
+
         d_st = jnp.zeros((24, r_pad), jnp.float32)
         d_st = d_st.at[16:19, :r].set(d_color.T)
+
+        # per-(segment, block) replay bounds from the -2 dead-block
+        # sentinel: lane 0 of a block reads >= -1 iff the block was alive
+        # that step (live blocks record -1 for misses, never -2)
+        alive_tb = (ib[:, ::br_bwd] >= -1).reshape(n_seg, seg, -1)
+        thi_all = jnp.max(
+            jnp.where(alive_tb,
+                      (jnp.arange(seg, dtype=jnp.int32) + 1)[None, :, None],
+                      0), axis=1)[:, None, :]              # [n_seg,1,B]
 
         def seg_body(carry):
             sidx, d_st, d_tab, d_cr = carry
@@ -1008,12 +1118,28 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                                                   keepdims=False)
             idxs = jax.lax.dynamic_slice(
                 ib, (sidx * seg, 0), (seg, r_pad)).astype(jnp.int32)
-            d_st, d_t, d_c = regen_seg_bwd(
-                cam13, cam16, t48, st_seg, idxs, d_st, seg=seg,
-                use_sky=use_sky, max_bounces=max_bounces, width=width,
-                height=height, m_pad=m_pad, block_r=br_bwd)
-            return (sidx - 1, d_st, d_tab + _sum_blocks(d_t, 16),
-                    d_cr + _sum_blocks(d_c, 16))
+            thi = jax.lax.dynamic_index_in_dim(thi_all, sidx, 0,
+                                               keepdims=False)
+            if use_list:
+                gl = (jax.lax.dynamic_index_in_dim(cnt_all, sidx, 0,
+                                                   keepdims=False),
+                      jax.lax.dynamic_index_in_dim(lst_all, sidx, 0,
+                                                   keepdims=False))
+                d_st, d_t, d_c = regen_seg_bwd(
+                    cam13, cam16, t48k, st_seg, idxs, d_st, thi, gl,
+                    seg=seg,
+                    use_sky=use_sky, max_bounces=max_bounces, width=width,
+                    height=height, m_pad=m_pad, block_r=br_bwd,
+                    n_pad=n_pad_true)
+                d_tab = d_tab + dtable_rt_to_flat(
+                    _sum_blocks(d_t, n_gt * 16), p_pad)
+            else:
+                d_st, d_t, d_c = regen_seg_bwd(
+                    cam13, cam16, t48, st_seg, idxs, d_st, thi, seg=seg,
+                    use_sky=use_sky, max_bounces=max_bounces, width=width,
+                    height=height, m_pad=m_pad, block_r=br_bwd)
+                d_tab = d_tab + _sum_blocks(d_t, 16)
+            return (sidx - 1, d_st, d_tab, d_cr + _sum_blocks(d_c, 16))
 
         last_seg = jnp.maximum(t_final - 1, 0) // seg
         _, d_st0, d_table, d_camrows = jax.lax.while_loop(
