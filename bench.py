@@ -252,6 +252,11 @@ def main():
         kw["regen"] = True
 
     m_pad = scene.tris.n_pad if scene.tris is not None else 0
+    from tpu_ray.kernels.bounce_step import resident_tables_fit
+    # past the residency cliff the render auto-routes to the HBM-streaming
+    # search (models/path_tracer._with_triangles); the op-mix SoL does not
+    # model the DMA stream, so vs_baseline keeps the static fallback there
+    tri_stream = bool(m_pad) and not resident_tables_fit(scene.n_pad, m_pad)
     if args.dry_run:
         # resolved routing only (tests check backend/chunk defaults
         # without paying a compile); tri_reach is the static fallback here
@@ -265,6 +270,7 @@ def main():
                                           args.mode, m_pad), 1),
             **({"tri_reach": TRI_REACH, "tri_reach_source": "static"}
                if m_pad else {}),
+            **({"tri_stream": True} if tri_stream else {}),
             "ns_per_ray": 0,
         }))
         return None
@@ -308,6 +314,7 @@ def main():
             **({"tri_reach": round(tri_reach, 4),
                 "tri_reach_source": "static" if tri_reach == TRI_REACH
                 else "measured"} if m_pad else {}),
+            **({"tri_stream": True} if tri_stream else {}),
             **({"provisional": True, "iters": 1} if provisional else {}),
         }), flush=True)
 
@@ -323,16 +330,17 @@ def main():
     emit(dt1, total_rays, TRI_REACH, provisional=True)
 
     # per-scene measured reachable-tile fraction for the SoL floor
-    # (tri scenes only; one strided-subsample sweep of the list kernels)
-    tri_reach = measure_tri_reach(scene, camera, args) if m_pad else 0.0
+    # (resident tri scenes only; one strided-subsample sweep of the list
+    # kernels — the streamed route has no resident sweep to measure)
+    tri_reach = measure_tri_reach(scene, camera, args) \
+        if m_pad and not tri_stream else TRI_REACH
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(scene, camera)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
-    emit(dt, total_rays, tri_reach if m_pad else TRI_REACH,
-         provisional=False)
+    emit(dt, total_rays, tri_reach, provisional=False)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,94 @@
+"""HBM-streaming list-driven triangle search (nearest_hit_tri_stream) —
+the route past the ~13k-tri VMEM residency cliff (VERDICT r3 item 4).
+
+Bit-identity discipline: on CPU (interpret mode) the stream kernel must
+reproduce the exact full sweep fold-for-fold — skipped tiles provably
+cannot win (tri_block_lists conservativeness), and the exact two-reduction
+carry with ascending tile order resolves ties identically.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_ray import default_camera, make_scene
+from tpu_ray.core.scene import make_trimesh_scene
+from tpu_ray.kernels.tri_intersect import (nearest_hit_tri_pallas,
+                                           nearest_hit_tri_stream)
+from tpu_ray.ops.raygen import camera_rays
+
+
+def _rays(scene, w=64, h=36):
+    cam = default_camera(scene)
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    o, d, _ = camera_rays(cam, w, h, pix, jnp.uint32(0), 0)
+    return o, d
+
+
+def test_stream_matches_exact_full_sweep_primary():
+    scene = make_trimesh_scene(subdivisions=2)
+    o, d = _rays(scene)
+    ref = nearest_hit_tri_pallas(scene.tris, o, d, exact=True)
+    got = nearest_hit_tri_stream(scene.tris, o, d)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(got.idx))
+    assert (np.asarray(got.t) < 3e38).any(), "no hits — vacuous parity"
+
+
+def test_stream_matches_exact_full_sweep_scattered():
+    # incoherent directions (secondary-bounce-like): the per-lane slab
+    # tests must stay conservative for arbitrary o/d
+    scene = make_trimesh_scene(subdivisions=2)
+    rng = np.random.default_rng(11)
+    r = 2048
+    o = jnp.asarray(rng.uniform(-0.5, 0.5, (r, 3)), jnp.float32)
+    d = rng.standard_normal((r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    ref = nearest_hit_tri_pallas(scene.tris, o, d, exact=True)
+    got = nearest_hit_tri_stream(scene.tris, o, d)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(got.idx))
+
+
+def test_fused_backend_autoroutes_past_cliff(monkeypatch):
+    """With the residency check forced false, backend='fused' must fall
+    back to the probe path + stream search and reproduce the jnp
+    backend's image bit-for-bit (identical winners and payload math)."""
+    from tpu_ray.kernels import bounce_step
+    from tpu_ray.models.path_tracer import render_pass
+
+    scene = make_trimesh_scene(subdivisions=1)
+    kw = dict(width=32, height=16, spp=1, sample_start=0, max_bounces=3)
+    ref_img, ref_rays = render_pass(scene, default_camera(scene),
+                                    backend="jnp", **kw)
+    monkeypatch.setattr(bounce_step, "resident_tables_fit",
+                        lambda n, m: False)
+    got_img, got_rays = render_pass(scene, default_camera(scene),
+                                    backend="fused", regen=True, **kw)
+    assert int(ref_rays) == int(got_rays)
+    np.testing.assert_array_equal(np.asarray(ref_img), np.asarray(got_img))
+
+
+def test_bigmesh_scene_past_cliff():
+    from tpu_ray.kernels.bounce_step import resident_tables_fit
+    scene = make_scene("bigmesh")
+    assert scene.tris.n_pad >= 100_000
+    assert not resident_tables_fit(scene.n_pad, scene.tris.n_pad)
+
+
+def test_obj_cliff_warning(tmp_path):
+    # a generated icosphere OBJ past the cliff must warn about the
+    # streaming route (core/scene.make_obj_scene)
+    from tpu_ray.core.trimesh import icosphere
+    from tpu_ray.core.scene import make_obj_scene
+    v, f = icosphere(5)                  # 20480 faces > ~13k cliff
+    p = tmp_path / "big.obj"
+    with open(p, "w") as fh:
+        for x, y, z in np.asarray(v):
+            fh.write(f"v {x} {y} {z}\n")
+        for a, b, c in np.asarray(f) + 1:
+            fh.write(f"f {a} {b} {c}\n")
+    with pytest.warns(UserWarning, match="streaming"):
+        scene = make_obj_scene(str(p))
+    assert scene.tris.n_pad > 20000

@@ -404,6 +404,15 @@ def make_trimesh_scene(pad_to: int = SPHERE_PAD,
     return dataclasses.replace(scene, tris=tris)
 
 
+def make_bigmesh_scene(pad_to: int = SPHERE_PAD) -> Scene:
+    """~164k-triangle scene (trimesh at subdivisions=6): past the VMEM
+    residency cliff, so every backend routes through the list-driven
+    HBM-streaming search (kernels/tri_intersect.nearest_hit_tri_stream)
+    — the beyond-parity scale target (typical authored/scanned meshes
+    are 50k-1M tris)."""
+    return make_trimesh_scene(pad_to=pad_to, subdivisions=6)
+
+
 SCENE_BUILDERS: Dict[str, Callable[..., Scene]] = {
     "rgb": make_rgb_scene,            # reference scene 0
     "randomized": make_randomized_scene,  # reference scene 1
@@ -412,6 +421,7 @@ SCENE_BUILDERS: Dict[str, Callable[..., Scene]] = {
     "sixteen": make_sixteen_scene,        # BASELINE config 2
     "sixtyfour": make_sixtyfour_scene,    # BASELINE config 3
     "trimesh": make_trimesh_scene,        # BASELINE config 4 (10k tris)
+    "bigmesh": make_bigmesh_scene,        # 164k tris (streaming search)
 }
 
 _SCENE_BY_INDEX = ["rgb", "randomized", "rtweekend", "single", "sixteen",
@@ -440,6 +450,14 @@ def make_obj_scene(path: str, pad_to: int = SPHERE_PAD,
          (0.55, 0.55, 0.55)),
     ])
     tris = pack_triangles(verts, faces, colors)
+    from tpu_ray.kernels.bounce_step import resident_tables_fit
+    if not resident_tables_fit(pad_to, tris.n_pad):
+        import warnings
+        warnings.warn(
+            f"{path}: {tris.n_pad} (padded) triangles exceed the VMEM "
+            "residency cliff — rendering auto-routes to the list-driven "
+            "HBM-streaming search (slower per-triangle than the resident "
+            "sweep, but scales to millions of triangles)", stacklevel=2)
     b = SceneBuilder()
     scene = b.build(
         look_at=np.array([0.0, 1.0 * s, 0.0], np.float32),

@@ -208,6 +208,137 @@ def _kernel_exact(ot_ref, dt_ref, tab_ref, t_out, idx_out, tmin_s, idx_s, *,
         idx_out[:] = idx_s[:]
 
 
+def _kernel_stream(cnt_ref, lst_ref, ot_ref, dt_ref, tab_hbm, t_out,
+                   idx_out, buf, sem, *, block_m: int, group: int):
+    """List-driven HBM-streaming nearest hit for soups past the resident
+    cliff (~13k tris, bounce_step.resident_tables_fit): grid over ray
+    blocks only; this block group's compacted reachable-tile list
+    (tri_block_lists — exact per-lane slab tests) drives double-buffered
+    async DMA of ONLY reachable [4*block_m, 96] coefficient tiles from
+    HBM, overlapped with the MT fold of the previous tile. The streamed
+    full sweep this replaces re-DMAs every tile for every ray block
+    (O(B*M) bandwidth — 100k tris at 1080p is ~150 GB per bounce); this
+    pays O(B * reach * M), and primary-bounce reach for a framed mesh is
+    a few percent. Fold order is ascending tile id with the exact
+    two-reduction carry — bit-identical to the full exact sweep (skipped
+    tiles provably cannot win, tri_block_lists docstring)."""
+    i = pl.program_id(0)
+    g = i // group
+    cnt = cnt_ref[g, 0]
+    # K padded 96 -> 128: HBM slices must be 128-lane aligned; the zero
+    # feature rows cancel the table's zero pad columns exactly
+    feats = jnp.concatenate(
+        [_features(ot_ref[:], dt_ref[:]),
+         jnp.zeros((32, ot_ref.shape[1]), jnp.bfloat16)], axis=0)
+
+    def get_dma(slot, k):
+        tile = lst_ref[g, k]
+        return pltpu.make_async_copy(
+            tab_hbm.at[pl.ds(tile * (4 * block_m), 4 * block_m), :],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(cnt > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, carry):
+        tmin, idx = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < cnt)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        tile = lst_ref[g, k]
+        tb = _tri_t(buf[slot], feats)
+        tv = jnp.where(tb < F32_MAX, tb + F32_EPS, F32_MAX)
+        tile_tmin = jnp.min(tv, axis=0, keepdims=True)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, tv.shape, 0)
+                + tile * block_m)
+        cand = jnp.where(tv == tile_tmin, rows, jnp.int32(_I32_MAX))
+        tile_idx = jnp.min(cand, axis=0, keepdims=True)
+        better = tile_tmin < tmin
+        return (jnp.where(better, tile_tmin, tmin),
+                jnp.where(better, tile_idx, idx))
+
+    br = ot_ref.shape[1]
+    tmin, idx = jax.lax.fori_loop(
+        0, cnt, body, (jnp.full((1, br), F32_MAX, jnp.float32),
+                       jnp.zeros((1, br), jnp.int32)))
+    t_out[:] = tmin
+    idx_out[:] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "block_m"))
+def nearest_hit_tri_stream(tris: Triangles, origin, direction,
+                           block_r: int = BLOCK_R,
+                           block_m: int = 128) -> Hit:
+    """Nearest triangle hit for soups too big for any VMEM residency:
+    per-ray-block reachable-tile lists + double-buffered HBM DMA
+    (_kernel_stream). Drop-in for nearest_hit_tri_jnp — and the only
+    practical route past ~13k tris: the jnp path materializes [R, M]
+    (17 GB at one 43k-ray chunk x 100k tris) and the fused/resident
+    paths need the whole table in VMEM."""
+    from tpu_ray.kernels.bounce_step import (list_group, tri_block_lists,
+                                             tri_tile_boxes)
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    m = tris.v0.shape[0]
+    r = origin.shape[0]
+    m_pad = -(-m // block_m) * block_m
+    r_pad = -(-r // block_r) * block_r
+    n_blocks = r_pad // block_r
+    n_tiles = m_pad // block_m
+
+    tab = tri_search_tables(tris, block_m)                # [4*m_pad,96]
+    tab = jnp.pad(tab, ((0, 0), (0, 32)))                 # K 96 -> 128
+    boxes = jax.lax.stop_gradient(tri_tile_boxes(tris, block_m))
+
+    ot = jnp.pad(origin, ((0, r_pad - r), (0, 0))).T
+    dt = jnp.pad(direction, ((0, r_pad - r), (0, 0))).T
+    st = jnp.zeros((16, r_pad), jnp.float32)
+    st = st.at[0:3].set(ot).at[3:6].set(dt).at[12, :r].set(1.0)
+    grp = list_group(n_blocks, n_tiles)
+    cnt, lst = tri_block_lists(boxes, st, block_r, grp)
+    n_groups = cnt.shape[0]
+
+    t, idx = pl.pallas_call(
+        functools.partial(_kernel_stream, block_m=block_m, group=grp),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_groups, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_groups, n_tiles), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),            # table in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4 * block_m, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=jax.default_backend() == "cpu",
+    )(cnt, lst, ot, dt, tab)
+
+    return Hit(t=t[0, :r], idx=idx[0, :r])
+
+
 @functools.partial(jax.jit, static_argnames=("block_r", "block_m", "exact"))
 def nearest_hit_tri_pallas(tris: Triangles, origin, direction,
                            block_r: int = BLOCK_R,

@@ -69,7 +69,15 @@ def _with_triangles(scene: Scene, origins, directions,
     if scene.tris is None:
         return sphere_payload
     from tpu_ray.ops.intersect_tri import merge_payloads, tri_payload
-    if tri_backend == "pallas":
+    from tpu_ray.kernels.bounce_step import resident_tables_fit
+    if not resident_tables_fit(scene.n_pad, scene.tris.n_pad):
+        # past the VMEM-residency cliff (~13k tris) every backend routes
+        # to the list-driven HBM-streaming search: the jnp brute force
+        # materializes [R, M] and the resident kernels need the whole
+        # table in VMEM (kernels/tri_intersect.nearest_hit_tri_stream)
+        from tpu_ray.kernels.tri_intersect import nearest_hit_tri_stream
+        raw = nearest_hit_tri_stream(scene.tris, origins, directions)
+    elif tri_backend == "pallas":
         from tpu_ray.kernels.tri_intersect import nearest_hit_tri_pallas
         raw = nearest_hit_tri_pallas(scene.tris, origins, directions)
     else:
@@ -244,6 +252,17 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
     search cost in the backward wall time.
     """
     n = pixel.shape[0]
+    if backend_is_fused and scene.tris is not None:
+        from tpu_ray.kernels.bounce_step import resident_tables_fit
+        if not resident_tables_fit(scene.n_pad, scene.tris.n_pad):
+            # past the residency cliff the fused/regen mega-kernels would
+            # stream the full tri table per ray block (O(B*M) HBM) and
+            # their i16 hit records overflow beyond 32k primitives —
+            # auto-route to the probe path, whose triangle search is the
+            # list-driven HBM-streaming kernel (_with_triangles)
+            backend_is_fused = False
+            regen = False
+            probe_fn = probe_jnp
     # hoist the payload gather tables out of every scan below
     if probe_fn in (probe_jnp, probe_pallas):
         tables = payload_tables(scene)
