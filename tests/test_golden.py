@@ -25,21 +25,29 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 SCENES = ["rgb", "randomized", "rtweekend"]
 W, H = 32, 24
 
+# "objico" renders the committed OBJ fixture through the obj:PATH loader
+# (the r3 OBJ surface gets frozen renders too)
+_OBJ_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "ico1.obj")
+
 # (tag, scene list, render_pass kwargs). exact_argmin makes the fused
 # winner selection bit-stable, so these renders are as deterministic as
-# the jnp ones (interpret-mode kernels on the CPU test platform).
+# the jnp ones (interpret-mode kernels on the CPU test platform). Every
+# (backend, primitive-family) cell with a default route has a frozen
+# render: regen is the default fwd route for trimesh AND obj scenes
+# since r3/r4 (VERDICT r3 item 7).
 BACKENDS = [
     ("jnp", SCENES, {}),
-    ("fused-exact", SCENES + ["trimesh"],
+    ("fused-exact", SCENES + ["trimesh", "objico"],
      dict(backend="fused", exact_argmin=True)),
-    ("regen-exact", ["rtweekend"],
+    ("regen-exact", ["rtweekend", "trimesh", "objico"],
      dict(backend="fused", exact_argmin=True, regen=True)),
 ]
 CASES = [(tag, name, kw) for tag, names, kw in BACKENDS for name in names]
 
 
 def _render(name, **kw):
-    scene = make_scene(name)
+    scene = make_scene(f"obj:{_OBJ_FIXTURE}" if name == "objico" else name)
     cam = default_camera(scene)
     img, rays = render_pass(scene, cam, width=W, height=H, spp=1,
                             sample_start=0, seed=0, **kw)
