@@ -29,12 +29,13 @@ flop count:
 
 The model is per PROCESSED lane; the reported metric divides by rays CAST
 (alive lanes only), so vs_baseline < 1 also prices dead-lane waste. With
-the regen backend (the sphere-scene default) processed ~= cast — lanes
-regenerate their next sample in-kernel when a ray dies — so vs_baseline
-reflects kernel efficiency, not occupancy: measured r3, fwd runs at 0.84
-of this model and fwd+bwd at 0.65 (the segment backward costs ~1.6x its
-3x-shade term: VMEM state-stack traffic + in-kernel vjp residuals +
-per-step d_table accumulation — attribution in BASELINE.md).
+the regen backend (the default on every fused route) processed ~= cast —
+lanes regenerate their next sample in-kernel when a ray dies — so
+vs_baseline reflects kernel efficiency, not occupancy: measured r4, fwd
+runs at 0.85 of this model and fwd+bwd at 0.73 (r3: 0.65 — the segment
+backward's hand-written _shade transpose + winner stash + per-block
+replay bounds harvested most of its 1.6x-over-3x-shade overhang;
+attribution in BASELINE.md).
 
 Prints a PROVISIONAL JSON line as soon as the first timed step exists and
 the final line after the full measurement — the last stdout line is always
@@ -89,9 +90,16 @@ TRI_REACH = 0.55           # dry-run FALLBACK only: measured reachable-tile
                            # vs_baseline stays honest for arbitrary meshes.
 
 
+SHADE_OPS_SIMPLE = 60.0    # flat / lambert-shadow per-ray shading chain
+                           # (albedo+emissive select, or one n.l + masks):
+                           # the non-path estimators' op mix is one search
+                           # + this, per CAST ray (shadow probes count)
+
+
 def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str,
                               m_pad: int = 0,
-                              tri_reach: float = TRI_REACH) -> float:
+                              tri_reach: float = TRI_REACH,
+                              shade_ops: float = SHADE_OPS_PER_RAY) -> float:
     mxu = MXU_BF16_FLOPS.get(chip, 1.97e14)
     vpu = VPU_F32_FLOPS.get(chip, 1.5e12)
     search_s = SEARCH_PASSES * 2.0 * (2 * n_pad) * 128 / mxu
@@ -101,7 +109,7 @@ def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str,
     tri_s = tri_reach * m_pad * (TRI_MXU_PER_PAIR / mxu
                                  + TRI_CHAIN_PER_PAIR / vpu)
     shade_s = (GATHER_PASSES * 2.0 * 48 * (n_pad + m_pad) / mxu
-               + SHADE_OPS_PER_RAY / vpu)
+               + shade_ops / vpu)
     per_ray = max(search_s, chain_s) + tri_s + shade_s
     if mode == "fwd+bwd":
         per_ray += 3.0 * shade_s          # replay + bwd (measured ~0.6x fwd)

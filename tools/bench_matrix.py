@@ -26,11 +26,20 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 
 def timeit(step, *args, iters=3):
-    out = jax.block_until_ready(step(*args))
+    """Wall time per step with a HARD host fetch of the first output leaf
+    after the loop: through the axon tunnel, jax.block_until_ready on the
+    final dispatch has been observed to return before execution completes
+    (r3's config-1 342M rays/s row was async-optimistic garbage at the
+    0.2 ms scale); a device->host transfer cannot. Callers keep per-step
+    outputs SMALL (a scalar reduction, or a grad pytree) so the fetch
+    itself is negligible."""
+    import numpy as np
+    out = step(*args)
+    np.asarray(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -46,25 +55,41 @@ def main():
     from tpu_ray.grad import image_mse, render_mean
     from tpu_ray.models.path_tracer import render_pass
     from tpu_ray.ops.shading_modes import scene_light_indices
+    from bench import SHADE_OPS_SIMPLE, speed_of_light_rays_per_s
 
-    # --- config 1: single + ground, 256^2, 1 spp, flat --------------------
-    scene = make_scene("single")
-    cam = default_camera(scene)
-    kw = dict(width=256, height=256, spp=1, sample_start=0, shading="flat")
-    _, rays = render_pass(scene, cam, **kw)
-    dt = timeit(lambda: render_pass(scene, cam, **kw)[0])
-    row("config1 flat single 256x256 1spp", int(rays), dt, backend="jnp")
+    def sum_step(scene, cam, **kw):
+        @jax.jit
+        def step(scene, cam):
+            img, rays = render_pass(scene, cam, sample_start=0, **kw)
+            return jnp.sum(img), rays
+        return step
 
-    # --- config 2: 16 spheres, 512^2, 4 spp, lambert + shadow -------------
-    scene = make_scene("sixteen")
-    cam = default_camera(scene)
-    lights = scene_light_indices(scene)
-    kw = dict(width=512, height=512, spp=4, sample_start=0,
-              shading="lambert_shadow", lights=lights)
-    _, rays = render_pass(scene, cam, **kw)
-    dt = timeit(lambda: render_pass(scene, cam, **kw)[0])
-    row("config2 lambert_shadow sixteen 512x512 4spp", int(rays), dt,
-        backend="jnp")
+    # --- configs 1-2: the non-path estimators, BOTH probe backends --------
+    # (VERDICT r3 item 5: vs_baseline + the faster measured backend. The
+    # op-mix floor is one search + a ~60-op shading chain per cast ray;
+    # the gap to it is XLA probe-path glue — payload gathers, masks —
+    # which the fused mega-kernels eliminate only for the path estimator.)
+    for cfg, name, scene_name, kw in [
+        (1, "config1 flat single 256x256 1spp", "single",
+         dict(width=256, height=256, spp=1, shading="flat")),
+        (2, "config2 lambert_shadow sixteen 512x512 4spp", "sixteen",
+         dict(width=512, height=512, spp=4, shading="lambert_shadow")),
+    ]:
+        scene = make_scene(scene_name)
+        cam = default_camera(scene)
+        if kw["shading"] == "lambert_shadow":
+            kw = dict(kw, lights=scene_light_indices(scene))
+        sol = speed_of_light_rays_per_s(scene.n_pad, "v5e", "fwd",
+                                        shade_ops=SHADE_OPS_SIMPLE)
+        for backend in ("pallas", "jnp"):
+            step = sum_step(scene, cam, backend=backend, **kw)
+            _, rays = step(scene, cam)
+            dt = timeit(step, scene, cam, iters=10)
+            row(name, int(rays), dt, backend=backend,
+                vs_baseline=round(int(rays) / dt / sol, 4),
+                speed_of_light_rays_per_s=round(sol, 1),
+                **({"note": "dispatch-bound at 65k rays via the tunnel"}
+                   if cfg == 1 else {}))
 
     # --- config 3: 64 spheres, camera+material grads, 1024^2, 16 spp ------
     scene = make_scene("sixtyfour")
@@ -90,10 +115,11 @@ def main():
     scene = make_scene("trimesh")
     cam = default_camera(scene)
     for backend in ("fused", "pallas", "jnp"):
-        kw = dict(width=1920, height=1080, spp=2, sample_start=0,
-                  backend=backend, ray_chunk=86400)
-        _, rays = render_pass(scene, cam, **kw)
-        dt = timeit(lambda: render_pass(scene, cam, **kw)[0], iters=2)
+        kw = dict(backend=backend, ray_chunk=86400,
+                  width=1920, height=1080, spp=2)
+        step = sum_step(scene, cam, **kw)
+        _, rays = step(scene, cam)
+        dt = timeit(step, scene, cam, iters=2)
         row(f"config4 trimesh {scene.tris.n_real}tris 1920x1080 2spp",
             int(rays), dt, backend=backend)
 

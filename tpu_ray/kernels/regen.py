@@ -42,13 +42,18 @@ class as the packed argmin, so parity tests are statistical
 
 Differentiable via `make_regen_trace` (bottom of this file): a custom VJP
 whose primal is the plain forward while-loop. Under differentiation the
-forward records a per-step [R] i16 winner index plus a [24,R] state
+forward records a per-step [R] i16 winner index (-2 = whole block dead —
+the backward's per-block replay-bound sentinel) plus a [24,R] state
 checkpoint every `seg` steps; the backward runs ONE segment kernel per
 checkpoint (`regen_seg_bwd`): a search-free forward replay of the segment
-into VMEM scratch, then a reverse sweep through the in-kernel jax.vjp of
-the shade+regen chain (camera cotangents included). Scene cotangents
-accumulate on the winner table; camera cotangents route through the XLA
-raygen vjp — exact because `_regen_rays` replays it bit-for-bit.
+into VMEM scratch (stashing each step's gathered winner), then a reverse
+sweep through the HAND-WRITTEN transpose of the shade+regen chain
+(`bounce_step._shade_vjp`; camera cotangents included). Each block replays
+exactly its own live step count (thi), and for tables wider than one
+gather tile the replay gather + d_table scatter fold only the tiles this
+block's records name (gather_tile_lists). Scene cotangents accumulate on
+the winner table; camera cotangents route through the XLA raygen vjp —
+exact because `_regen_rays` replays it bit-for-bit.
 
 State layout [24, R] (f32; ch 13/21 are u32 bitcast):
    0-2  origin        3-5  direction     6-8  attenuation
