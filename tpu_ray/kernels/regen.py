@@ -79,6 +79,7 @@ regeneration bit-identical to XLA-generated primary rays.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -968,7 +969,7 @@ def make_trace_regen(width: int, height: int):
 @functools.lru_cache(maxsize=None)
 def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                      spp: int, block_r: int = BLOCK_R,
-                     exact_argmin: bool = False, seg: int = 16):
+                     exact_argmin: bool = False, seg: int | None = None):
     """Differentiable persistent-wavefront trace: (scene, camera, pixel, s0)
     -> (color_sum [R,3], rays_cast [] u32), with a custom VJP.
 
@@ -992,15 +993,22 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
     VMEM state stack per ray block. Steps past the forward's termination
     point are all-dead and the segment kernel skips them as identities,
     so the reverse sweep does the same live work the forward did — the
-    occupancy win carries to the whole fwd+bwd step. seg=16 measured
-    best on TPU (2026-08-19: 83.7M vs 83.5M seg=32, 81.9M seg=64 rays/s
-    at the 1080p64 headline — longer segments waste tail steps past
-    t_final).
+    occupancy win carries to the whole fwd+bwd step. seg default 64
+    (env TPU_RAY_REGEN_SEG overrides): before the r4 per-block replay
+    bounds, longer segments wasted tail steps past t_final and seg=16
+    measured best (2026-08-19: 83.7M vs 83.5M seg=32, 81.9M seg=64);
+    with thi bounds the tail cost is gone and fewer checkpoints win
+    (2026-08-20 headline: 93.5M seg=16, 94.3M seg=32, 95.5M seg=64,
+    95.5M seg=80, seg=96 exceeds the 16 MB scoped-VMEM stack; config 3
+    k_max=80: 103.5M seg=64 vs 103.3M seg=16, seg=80 VMEM-OOMs at the
+    unchunked r_pad).
     """
     from tpu_ray.kernels.bounce_step import prim_table, table_chunks
     from tpu_ray.ops.raygen import camera_rays
 
     k_max = spp * max_bounces
+    if seg is None:
+        seg = int(os.environ.get("TPU_RAY_REGEN_SEG", "64"))
     # short traces (k_max < seg): clamp so the one segment kernel does not
     # replay seg - k_max pure-tail steps on every alive block (spp 2 at 5
     # bounces under the default seg=16 was paying 16 steps for <=10)
