@@ -808,7 +808,23 @@ def _scatter_dtable(dtable_ref, d_wn, idx, p_pad: int, onehot=None):
     dtable_ref[:] = dtable_ref[:] + _dtable_delta(d_wn, idx, p_pad, onehot)
 
 
-def _tile_roots(st, stab_ref, block_n: int):
+def _sph_bk(st):
+    """The [54,BR] K-stacked bf16-split ray-monomial matrix of the sphere
+    search matmul ([o, d, o.d, |o|^2, 1] chunk-stacked) — depends only on
+    the ray block, so list kernels hoist it out of their per-tile loop
+    (the streamed kernel recomputes per grid step)."""
+    o = st[0:3, :]
+    d = st[3:6, :]
+    oo = jnp.sum(o * o, axis=0, keepdims=True)       # [1,BR]
+    od = jnp.sum(o * d, axis=0, keepdims=True)
+    one = jnp.ones_like(oo)
+    feats = jnp.concatenate([o, d, od, oo, one], axis=0)   # [9,BR]
+    b1, b2, b3 = _split3_bf16(
+        feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
+    return jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [54,BR]
+
+
+def _tile_roots(st, stab_ref, block_n: int, bk=None):
     """Shifted root chain for ONE sphere tile, [bn,BR]. -> tb = t - eps
     (<= 0 / NaN where invalid; see packed-order comment below).
 
@@ -832,16 +848,8 @@ def _tile_roots(st, stab_ref, block_n: int):
     under one 128 pad) accumulates exactly the same 6 products in f32 —
     identical error class to HIGHEST at 1/6 the MXU cost (measured: the
     passes were 75% of the all-alive forward bounce)."""
-    o = st[0:3, :]
-    d = st[3:6, :]
-    oo = jnp.sum(o * o, axis=0, keepdims=True)       # [1,BR]
-    od = jnp.sum(o * d, axis=0, keepdims=True)
-    one = jnp.ones_like(oo)
-
-    feats = jnp.concatenate([o, d, od, oo, one], axis=0)   # [9,BR]
-    b1, b2, b3 = _split3_bf16(
-        feats, _u32, lambda u: pltpu.bitcast(u, jnp.float32))
-    bk = jnp.concatenate([b1, b2, b1, b3, b2, b1], axis=0)  # [54,BR]
+    if bk is None:
+        bk = _sph_bk(st)
     tpq = jnp.dot(stab_ref[:], bk,
                   preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.DEFAULT)     # [2bn,BR]
@@ -1314,19 +1322,28 @@ def tri_tile_bounds(tris, block_m: int = TRI_BLOCK_M):
             hi.reshape(n_t, block_m, 3).max(axis=1))
 
 
-def tri_tile_boxes(tris, block_m: int = TRI_BLOCK_M):
-    """Inflated tri-tile AABBs as ONE [T, 6] f32 table (lo.xyz, hi.xyz)
-    for the reachability-list builder (tri_block_lists). The 1e-4
-    relative inflation makes the 6-divide slab test conservatively safe
-    against f32 rounding; empty boxes of all-padding tiles (lo > hi) are
-    left empty so every block skips them."""
-    lo, hi = tri_tile_bounds(tris, block_m)
+def _inflated_boxes(lo, hi):
+    """[T,6] box table with 1e-4 relative inflation: makes the 6-divide
+    slab test conservatively safe against f32 rounding; empty boxes of
+    all-padding tiles (lo > hi) are left empty so every block skips
+    them."""
     span = jnp.maximum(hi - lo, 0.0)
     pad = 1e-4 * (span + jnp.maximum(jnp.abs(lo), jnp.abs(hi)) + 1e-6)
     nonempty = lo[:, 0:1] <= hi[:, 0:1]
     lo = jnp.where(nonempty, lo - pad, lo)
     hi = jnp.where(nonempty, hi + pad, hi)
     return jnp.concatenate([lo, hi], axis=1)
+
+
+def tri_tile_boxes(tris, block_m: int = TRI_BLOCK_M):
+    """Inflated tri-tile AABBs as ONE [T, 6] f32 table (lo.xyz, hi.xyz)
+    for the reachability-list builder (tri_block_lists)."""
+    return _inflated_boxes(*tri_tile_bounds(tris, block_m))
+
+
+# (No sphere analogue of tri_tile_boxes: the sphere reachability-list
+#  sweep was built, verified bit-identical, and measured a LOSS at every
+#  tile size on the TPU — see the dead-end note in kernels/regen.py.)
 
 
 def ray_block_bounds(state, block_r: int):

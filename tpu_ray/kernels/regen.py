@@ -920,6 +920,22 @@ def _step_lists(tb, st, block_r: int, group: int):
     return tri_block_lists(tb["tri_boxes"], st[0:16], block_r, group)
 
 
+# (Measured dead end, 2026-08-20 r4: a SPHERE reachability-list sweep —
+# the exact tri machinery applied to 32/64/128-sphere tiles of the
+# rtweekend table, sph_tile_boxes + tri_block_lists + a
+# _regen_sph_list_kernel mirroring _regen_list_kernel's dynamic-trip
+# fori over a VMEM-resident tile-major search table, bit-identical fwd
+# AND grads on CPU interpret. Host-side list building fuses into the
+# step for free (0.670 vs 0.672 ms/step) and mean block reach measured
+# 0.60/0.74/0.85 at tiles 32/64/128 — but the TPU fwd headline LOST at
+# every tile size: 160.8/163.4/164.2M vs 170.5M streamed. The sphere
+# chain is only ~12 VPU ops per (ray, sphere) pair, so skipping
+# 15-40% of pairs saves less than the ~88 ns/tile-iteration the
+# dynamic-slice loop costs; triangles win the same trade because each
+# pair carries 768 MXU flops + chain and reach is 0.55. Reverted —
+# spheres keep the straight-line one-tile resident sweep.)
+
+
 def make_trace_regen(width: int, height: int):
     """Persistent-wavefront spp-sample trace bound to a film size
     (width/height are film-math statics, mirroring ops/raygen.camera_rays).
