@@ -42,12 +42,21 @@ BACKENDS = [
      dict(backend="fused", exact_argmin=True)),
     ("regen-exact", ["rtweekend", "trimesh", "objico"],
      dict(backend="fused", exact_argmin=True, regen=True)),
+    # the r4 fused estimator mega-kernel (kernels/simple_shade.py) on its
+    # BASELINE config scenes
+    ("flat-fused-exact", ["single"],
+     dict(backend="fused", exact_argmin=True, shading="flat")),
+    ("lambert-fused-exact", ["sixteen"],
+     dict(backend="fused", exact_argmin=True, shading="lambert_shadow")),
 ]
 CASES = [(tag, name, kw) for tag, names, kw in BACKENDS for name in names]
 
 
 def _render(name, **kw):
     scene = make_scene(f"obj:{_OBJ_FIXTURE}" if name == "objico" else name)
+    if kw.get("shading") == "lambert_shadow":
+        from tpu_ray.ops.shading_modes import scene_light_indices
+        kw = dict(kw, lights=scene_light_indices(scene))
     cam = default_camera(scene)
     img, rays = render_pass(scene, cam, width=W, height=H, spp=1,
                             sample_start=0, seed=0, **kw)

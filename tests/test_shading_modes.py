@@ -65,3 +65,76 @@ def test_flat_matches_probe_backends():
     img_p, _ = render_pass(scene, cam, backend="pallas", **kw)
     diff = np.abs(np.asarray(img_j) - np.asarray(img_p))
     assert (diff < 1e-6).mean() > 0.999
+
+
+# ---- r4 fused estimator mega-kernel (kernels/simple_shade.py) ----------
+
+def test_flat_fused_matches_jnp():
+    """Flat has no payload-derived arithmetic beyond the gather, so the
+    fused kernel matches jnp to float noise (measured exact on CPU)."""
+    scene = make_scene("single")
+    cam = default_camera(scene)
+    kw = dict(width=64, height=64, spp=2, sample_start=0, shading="flat")
+    img_j, rays_j = render_pass(scene, cam, backend="jnp", **kw)
+    img_f, rays_f = render_pass(scene, cam, backend="fused", **kw)
+    assert int(rays_j) == int(rays_f)
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_j),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lambert_fused_statistical_parity():
+    """The fused lambert kernel's statistical-parity contract vs jnp
+    (kernels/simple_shade.py docstring): the fused search evaluates the
+    quadratic through a different f32 op sequence, so rare borderline
+    winners flip (large per-pixel diff), and cross-program FP contraction
+    adds ~1e-5-scale noise everywhere. Gate both classes."""
+    scene = make_scene("sixteen")
+    lights = scene_light_indices(scene)
+    cam = default_camera(scene)
+    kw = dict(width=128, height=128, spp=2, sample_start=0,
+              shading="lambert_shadow", lights=lights)
+    img_j, rays_j = render_pass(scene, cam, backend="jnp", **kw)
+    img_f, rays_f = render_pass(scene, cam, backend="fused", **kw)
+    a, b = np.asarray(img_j), np.asarray(img_f)
+    # rays: winner flips can move a shadow-ray count by O(1)
+    assert abs(int(rays_j) - int(rays_f)) <= 16
+    d = np.abs(a - b).max(axis=-1)
+    # winner-flip class: isolated pixels
+    assert (d > 1e-3).mean() < 0.003, (d > 1e-3).mean()
+    # contraction-noise class: everywhere, but tiny
+    assert np.median(d) < 1e-5
+
+
+def test_lambert_fused_grad_matches_probe():
+    """The fused estimator's custom VJP re-runs the probe path; its
+    gradients must match differentiating the jnp route (up to the same
+    near-tie forward divergence)."""
+    import jax
+
+    scene = make_scene("sixteen")
+    lights = scene_light_indices(scene)
+    cam = default_camera(scene)
+    kw = dict(width=32, height=32, spp=1, sample_start=0,
+              shading="lambert_shadow", lights=lights)
+
+    def loss(scene, cam, backend):
+        img, _ = render_pass(scene, cam, backend=backend, **kw)
+        return jnp.sum(img ** 2) * 1e-3
+
+    g_j = jax.grad(loss, argnums=(0, 1))(scene, cam, "jnp")
+    g_f = jax.grad(loss, argnums=(0, 1))(scene, cam, "fused")
+    for a, b in zip(jax.tree.leaves(g_j), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)
+
+
+def test_flat_fused_chunked_matches_unchunked():
+    scene = make_scene("single")
+    cam = default_camera(scene)
+    kw = dict(width=64, height=64, spp=1, sample_start=0, shading="flat",
+              backend="fused")
+    img0, rays0 = render_pass(scene, cam, **kw)
+    img1, rays1 = render_pass(scene, cam, ray_chunk=1024, **kw)
+    assert int(rays0) == int(rays1)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
+                               rtol=1e-6, atol=1e-6)

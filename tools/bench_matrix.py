@@ -64,11 +64,13 @@ def main():
             return jnp.sum(img), rays
         return step
 
-    # --- configs 1-2: the non-path estimators, BOTH probe backends --------
+    # --- configs 1-2: the non-path estimators, all three backends ---------
     # (VERDICT r3 item 5: vs_baseline + the faster measured backend. The
     # op-mix floor is one search + a ~60-op shading chain per cast ray;
-    # the gap to it is XLA probe-path glue — payload gathers, masks —
-    # which the fused mega-kernels eliminate only for the path estimator.)
+    # the probe backends' gap to it is XLA glue — payload gathers, masks —
+    # which the r4 fused estimator mega-kernel (kernels/simple_shade.py)
+    # eliminates: in-kernel raygen + search + shadow folds, all spp in one
+    # launch.)
     for cfg, name, scene_name, kw in [
         (1, "config1 flat single 256x256 1spp", "single",
          dict(width=256, height=256, spp=1, shading="flat")),
@@ -81,7 +83,7 @@ def main():
             kw = dict(kw, lights=scene_light_indices(scene))
         sol = speed_of_light_rays_per_s(scene.n_pad, "v5e", "fwd",
                                         shade_ops=SHADE_OPS_SIMPLE)
-        for backend in ("pallas", "jnp"):
+        for backend in ("fused", "pallas", "jnp"):
             step = sum_step(scene, cam, backend=backend, **kw)
             _, rays = step(scene, cam)
             dt = timeit(step, scene, cam, iters=10)

@@ -112,7 +112,17 @@ def _rand_draws_ch(st):
 
 def _regen_rays(cam_ref, st, s_next, width: int, height: int,
                 film_w: float, film_h: float):
-    """In-kernel primary-ray generation for per-lane sample s_next [1,BR].
+    """In-kernel primary-ray generation for per-lane sample s_next [1,BR]
+    from the wavefront state's raygen rows (19 = x, 20 = y, 21 = h1)."""
+    return _lane_rays(cam_ref, st[19:20, :], st[20:21, :],
+                      _u32(st[21:22, :]), s_next, width, height,
+                      film_w, film_h)
+
+
+def _lane_rays(cam_ref, ax, ay, h1, s_next, width: int, height: int,
+               film_w: float, film_h: float):
+    """In-kernel primary-ray generation for per-lane pixel (ax, ay [1,BR]
+    f32), pixel hash h1 [1,BR] u32 and sample s_next [1,BR] i32.
 
     -> (o3 [3,BR], d3 [3,BR], base [1,BR] u32). BIT-identical to
     ops/raygen.camera_rays: same h1/sample hash split, same slot-4/5
@@ -122,7 +132,6 @@ def _regen_rays(cam_ref, st, s_next, width: int, height: int,
     rewrites like pre-distributed jitter coefficients or lax.rsqrt flip
     rare near-tie winners and break bit parity — measured)."""
     from tpu_ray.core.scene import F32_EPS
-    h1 = _u32(st[21:22, :])
     base = _pcg_hash(h1 + pltpu.bitcast(s_next, jnp.uint32)
                      * jnp.uint32(_MIX_SAMPLE))
     zero = jnp.uint32(0)
@@ -135,8 +144,8 @@ def _regen_rays(cam_ref, st, s_next, width: int, height: int,
     cyx, cyy, cyz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
 
     # ops/raygen.camera_rays:31-44, op for op
-    film_x = -1.0 + ((st[19:20, :] + jx) * 2.0) / jnp.float32(width)
-    film_y = -1.0 + ((st[20:21, :] + jy) * 2.0) / jnp.float32(height)
+    film_x = -1.0 + ((ax + jx) * 2.0) / jnp.float32(width)
+    film_y = -1.0 + ((ay + jy) * 2.0) / jnp.float32(height)
     fx = film_x * jnp.float32(film_w) * 0.5
     fy = film_y * jnp.float32(film_h) * 0.5
     rx = fcx + fx * cxx + fy * cyx - px

@@ -1,0 +1,312 @@
+"""Fused non-path estimator kernels: flat and Lambert + shadow rays.
+
+BASELINE configs 1-2 run the simple estimators (ops/shading_modes.py:
+primary visibility; Lambertian direct lighting with one nearest-hit
+shadow probe per light). Until r4 they had only the jnp/pallas PROBE
+backends — search kernel + XLA payload gathers/masks — measured at 0.19
+of their op-mix floor (BASELINE config 2 row: the gap is probe-path
+glue). This kernel is the promised fused route (VERDICT r3 item 5): one
+Pallas launch per ray block does in-kernel raygen (the regen replay,
+bit-identical to ops/raygen.camera_rays), the K-stacked search fold, the
+exact 3-pass bf16 winner gather, and the estimator's shading — including
+the SHADOW search for lambert (a second fold from the hit point toward
+each light; visibility = the nearest hit IS the light, exactly
+ops/shading_modes.trace_lambert_shadow's rule, which generalizes the
+reference's emissive-accumulation term, main.cpp:433-440).
+
+spp samples accumulate inside the kernel (the estimators have no bounce
+loop, so every lane does exactly spp * (1 + L-shadow-probes-on-hit) rays
+— no occupancy problem, no while loop, no state round-trips).
+
+Parity class vs the probe backends: the fused search evaluates the same
+quadratic through a different f32 op sequence (K-stacked coefficient
+matmul vs the probe's projection form), so rare borderline/near-tie
+winners can differ — the same statistical-parity contract as the fused
+path backend (tests/test_simple_fused.py; goldens pin the fused route
+separately, as for path mode).
+
+Gradients: the host wrapper carries a custom VJP whose backward re-runs
+the PROBE-path estimator (O(R) recompute, differentiable through
+hit_payload/gather_rows) and transposes that — the estimators are
+1-probe-deep, so recompute is cheap and no residuals are saved. Forward
+values and backward linearization can differ on the near-tie class above
+(documented; the probe path remains the exact-gradient route).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ray.core.scene import F32_EPS, F32_MAX, Scene
+from tpu_ray.kernels.bounce_step import (
+    BLOCK_R, _exact_tile, _fused_tables, _gather_winner, _interpret,
+    _pack_bits, _pack_tile, _sph_bk, _tile_roots, _u32, _unpack, _use_pack,
+    morton_perm, permute_spheres)
+from tpu_ray.kernels.regen import _cam13, _lane_rays
+
+
+def _fold(o3, d3, stab_ref, *, n_tiles: int, block_n: int, pack: bool,
+          low_mask: int, miss_s: int):
+    """Nearest-hit search fold over the resident tile-major sphere table
+    for rays (o3, d3) [3,BR] each. -> (idx [1,BR] i32, -1 on miss;
+    hit [1,BR] bool). Identical folds to the regen/bounce kernels."""
+    st6 = jnp.concatenate([o3, d3], axis=0)
+    bk = _sph_bk(st6)
+    br = o3.shape[1]
+    if pack:
+        carry = jnp.full((1, br), miss_s, jnp.int32)
+        for js in range(n_tiles):
+            rows = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
+            tb = _tile_roots(st6, rows, block_n, bk)
+            carry = jnp.minimum(
+                carry, jnp.min(_pack_tile(tb, js * block_n, low_mask),
+                               axis=0, keepdims=True))
+        return _unpack(carry, low_mask, miss_s)
+    tmin = jnp.full((1, br), F32_MAX, jnp.float32)
+    idxc = jnp.zeros((1, br), jnp.int32)
+    for js in range(n_tiles):
+        rows = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
+        tb = _tile_roots(st6, rows, block_n, bk)
+        tm, ic = _exact_tile(tb, js * block_n, shift_valid=True)
+        better = tm < tmin
+        idxc = jnp.where(better, ic, idxc)
+        tmin = jnp.where(better, tm, tmin)
+    hit = tmin < F32_MAX
+    return jnp.where(hit, idxc, jnp.int32(-1)), hit
+
+
+def _sky3(d3):
+    """ops/shade.sky_color rows: (1-a) * white + a * (0.5, 0.7, 1.0)."""
+    a = (d3[1:2, :] + 1.0) * 0.5
+    one = 1.0 - a
+    return jnp.concatenate(
+        [one + a * 0.5, one + a * 0.7, one + a * 1.0], axis=0)
+
+
+def _nrm3(v3):
+    """ops/vec.normalize_eps on [3,BR] rows (same 1/sqrt form)."""
+    lsq = jnp.sum(v3 * v3, axis=0, keepdims=True)
+    ok = lsq > F32_EPS
+    inv = 1.0 / jnp.sqrt(jnp.where(ok, lsq, 1.0))
+    return jnp.where(ok, v3 * inv, 0.0)
+
+
+def _simple_kernel(cam_ref, *refs, n_pad: int, block_n: int, spp: int,
+                   n_lights: int, use_sky: bool, pack: bool, width: int,
+                   height: int, film_w: float, film_h: float):
+    """spp samples of the flat (n_lights < 0) or lambert_shadow estimator
+    for one ray block. Output rows: 0:3 color sum over spp, 3 rays cast
+    (exact small f32)."""
+    flat = n_lights < 0
+    k = 0
+    if not flat:
+        lidx_ref = refs[k]; k += 1
+        ldat_ref = refs[k]; k += 1
+    in_ref, stab_ref, table_ref, out_ref = refs[k:k + 4]
+    n_tiles = n_pad // block_n
+    low_mask, miss_s = _pack_bits(n_pad)
+    br = in_ref.shape[1]
+    ax = in_ref[0:1, :]
+    ay = in_ref[1:2, :]
+    h1 = _u32(in_ref[2:3, :])
+    s0 = cam_ref[0, 12].astype(jnp.int32)
+
+    def sample(s, carry):
+        acc, rays = carry
+        s_next = jnp.full((1, br), s0 + s, jnp.int32)
+        o3, d3, _ = _lane_rays(cam_ref, ax, ay, h1, s_next,
+                               width, height, film_w, film_h)
+        idx, hit = _fold(o3, d3, stab_ref, n_tiles=n_tiles,
+                         block_n=block_n, pack=pack, low_mask=low_mask,
+                         miss_s=miss_s)
+        winner, _ = _gather_winner(table_ref, idx, n_pad)
+        alb = winner[4:7, :]
+        emis = winner[7:10, :]
+        hit3 = jnp.broadcast_to(hit, (3, br))
+        miss3 = _sky3(d3) if use_sky else jnp.zeros((3, br), jnp.float32)
+        rays = rays + 1.0
+        if flat:
+            return acc + jnp.where(hit3, alb + emis, miss3), rays
+
+        # ops/intersect.hit_payload math from the gathered winner
+        c3 = winner[0:3, :]
+        r1 = winner[3:4, :]
+        m3 = c3 - o3
+        t_proj = jnp.sum(m3 * d3, axis=0, keepdims=True)
+        p3 = m3 - d3 * t_proj
+        dsq = jnp.sum(p3 * p3, axis=0, keepdims=True)
+        disc = r1 * r1 - dsq
+        pos = disc > 0.0
+        x = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        t_near = t_proj - x
+        inside = t_near < F32_EPS
+        t = jnp.where(inside, t_proj + x, t_near)
+        no3 = o3 + d3 * t                      # next_origin
+        n3 = _nrm3(no3 - c3)                   # normal_raw = point - m
+        n3 = jnp.where(jnp.broadcast_to(inside, (3, br)), -n3, n3)
+
+        color = emis
+        for j in range(n_lights):
+            li = lidx_ref[0, j]
+            lc = jnp.stack([ldat_ref[j, 0], ldat_ref[j, 1],
+                            ldat_ref[j, 2]]).reshape(3, 1)
+            lem = jnp.stack([ldat_ref[j, 3], ldat_ref[j, 4],
+                             ldat_ref[j, 5]]).reshape(3, 1)
+            ld3 = _nrm3(lc - no3)
+            sidx, shit = _fold(no3, ld3, stab_ref, n_tiles=n_tiles,
+                               block_n=block_n, pack=pack,
+                               low_mask=low_mask, miss_s=miss_s)
+            visible = shit & (sidx == li) & hit
+            lam = jnp.maximum(jnp.sum(n3 * ld3, axis=0, keepdims=True),
+                              0.0)
+            color = color + jnp.where(
+                jnp.broadcast_to(visible, (3, br)), alb * lem * lam, 0.0)
+            rays = rays + jnp.where(hit, 1.0, 0.0)
+        return acc + jnp.where(hit3, color, miss3), rays
+
+    acc, rays = jax.lax.fori_loop(
+        0, spp, sample,
+        (jnp.zeros((3, br), jnp.float32), jnp.zeros((1, br), jnp.float32)))
+    out_ref[0:3, :] = acc
+    out_ref[3:4, :] = rays
+    out_ref[4:8, :] = jnp.zeros((4, br), jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_simple_trace(width: int, height: int, seed: int, spp: int,
+                      mode: str, lights: tuple = (),
+                      block_r: int = BLOCK_R, exact_argmin: bool = False):
+    """Differentiable fused estimator trace: (scene, camera, pixel, s0)
+    -> (color_sum [R,3] over spp, rays_cast [] u32). mode 'flat' or
+    'lambert_shadow' (lights = static GLOBAL sphere indices of emissive
+    spheres, as scene_light_indices returns). Custom VJP: backward
+    re-runs the probe-path estimator (module docstring)."""
+    from tpu_ray.core import rng
+    from tpu_ray.core.camera import film_extent
+    from tpu_ray.ops.raygen import camera_rays
+    from tpu_ray.ops.shading_modes import (scene_light_data, trace_flat,
+                                           trace_lambert_shadow)
+    assert mode in ("flat", "lambert_shadow"), mode
+    film_w, film_h = film_extent(width, height)
+    n_lights = -1 if mode == "flat" else len(lights)
+
+    def kernel_run(scene: Scene, camera, pixel, s0):
+        perm = morton_perm(scene)
+        scene_p = permute_spheres(scene, perm)
+        tb = _fused_tables(scene_p)
+        n_pad = tb["n_pad"]
+        assert tb["m_pad"] == 0, \
+            "fused flat/lambert covers sphere scenes (no triangle soup)"
+        block_n = min(n_pad, 1024)     # stab_full's tile height
+        pack = _use_pack(n_pad, exact_argmin)
+
+        r = pixel.shape[0]
+        r_pad = -(-r // block_r) * block_r
+        ax = (pixel % width).astype(jnp.float32)
+        ay = (pixel // width).astype(jnp.float32)
+        h1 = rng.pcg_hash(pixel.astype(jnp.uint32)
+                          * jnp.uint32(0x9E3779B1)
+                          ^ jnp.uint32(int(seed) & 0xFFFFFFFF), jnp)
+        rows = jnp.zeros((8, r_pad), jnp.float32)
+        rows = rows.at[0, :r].set(ax)
+        rows = rows.at[1, :r].set(ay)
+        rows = rows.at[2, :r].set(
+            jax.lax.bitcast_convert_type(h1, jnp.float32))
+        cam13 = _cam13(camera, jnp.asarray(s0, jnp.float32))
+
+        extra_in, extra_specs = [], []
+        if n_lights >= 0:
+            # lights are GLOBAL indices; the kernel compares against the
+            # PERMUTED winner id. Pad the SMEM blocks to >= 1 row (a
+            # no-light lambert scene still compiles; the kernel's light
+            # loop trips n_lights times so pads are never read).
+            lp = max(1, n_lights)
+            li = jnp.full((lp,), -2, jnp.int32)
+            ld = jnp.zeros((lp, 6), jnp.float32)
+            if n_lights:
+                lg = jnp.asarray(list(lights), jnp.int32).reshape(-1)
+                li = li.at[:n_lights].set(jnp.argmax(
+                    perm[None, :] == lg[:, None], axis=1).astype(jnp.int32))
+                lc, lem = scene_light_data(scene, lights)
+                ld = ld.at[:n_lights].set(
+                    jnp.concatenate([lc, lem], axis=1))
+            extra_in = [li.reshape(1, lp), ld]
+            extra_specs = [
+                pl.BlockSpec((1, lp), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((lp, 6), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
+
+        out = pl.pallas_call(
+            functools.partial(
+                _simple_kernel, n_pad=n_pad, block_n=block_n, spp=spp,
+                n_lights=n_lights, use_sky=scene_p.use_sky, pack=pack,
+                width=width, height=height, film_w=float(film_w),
+                film_h=float(film_h)),
+            grid=(r_pad // block_r,),
+            in_specs=[
+                pl.BlockSpec((1, 13), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                *extra_specs,
+                pl.BlockSpec((8, block_r), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((48, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, block_r), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=_interpret(),
+        )(cam13, *extra_in, rows, tb["stab_full"], tb["t48"])
+        color = out[0:3, :r].T
+        rays = jnp.sum(out[3, :r].astype(jnp.uint32))
+        return color, rays
+
+    def probe_run(scene: Scene, camera, pixel, s0):
+        """The XLA probe-path estimator (exact-gradient reference route,
+        models/path_tracer's jnp backend) — the custom VJP's backward."""
+        from tpu_ray.models.path_tracer import probe_jnp as probe_fn
+        light_data = (scene_light_data(scene, lights)
+                      if mode == "lambert_shadow" else None)
+
+        def sample_body(carry, s):
+            color_sum, rays = carry
+            o, d, _ = camera_rays(camera, width, height, pixel, s, seed)
+            if mode == "flat":
+                color, rc = trace_flat(scene, o, d, probe_fn)
+            else:
+                color, rc = trace_lambert_shadow(scene, o, d, probe_fn,
+                                                 lights, light_data)
+            return (color_sum + color, rays + jnp.sum(rc)), None
+
+        init = (jnp.zeros((pixel.shape[0], 3), jnp.float32),
+                jnp.zeros((), jnp.uint32))
+        samples = (jnp.asarray(s0, jnp.uint32)
+                   + jnp.arange(spp, dtype=jnp.uint32))
+        (color_sum, rays), _ = jax.lax.scan(sample_body, init, samples)
+        return color_sum, rays
+
+    @jax.custom_vjp
+    def trace(scene, camera, pixel, s0):
+        return kernel_run(scene, camera, pixel, s0)
+
+    def fwd(scene, camera, pixel, s0):
+        return trace(scene, camera, pixel, s0), (scene, camera, pixel, s0)
+
+    def bwd(res, cts):
+        scene, camera, pixel, s0 = res
+        _, vjp = jax.vjp(
+            lambda sc, cam: probe_run(sc, cam, pixel, s0), scene, camera)
+        d_scene, d_camera = vjp(cts)
+        return d_scene, d_camera, None, None
+
+    trace.defvjp(fwd, bwd)
+    return trace

@@ -306,6 +306,24 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
 
         color, rays = jax.lax.map(one, pixel.reshape(k, ray_chunk))
         return color.reshape(n, 3), jnp.sum(rays)
+    if (shading in ("flat", "lambert_shadow") and backend_is_fused
+            and scene.tris is None):
+        # Fused estimator mega-kernel (kernels/simple_shade.py): in-kernel
+        # raygen + search + winner gather + estimator shading (+ shadow
+        # searches) for all spp samples in one launch per ray block —
+        # removes the probe path's XLA payload/mask glue (measured 0.19 of
+        # the op-mix floor, BASELINE config 2). Carries a custom VJP whose
+        # backward re-runs the probe estimator (exact-gradient route).
+        from tpu_ray.kernels.simple_shade import make_simple_trace
+        run = make_simple_trace(width, height, seed, spp, shading,
+                                lights=lights, exact_argmin=exact_argmin)
+        if ray_chunk is None:
+            return run(scene, camera, pixel, sample_start)
+        k = n // ray_chunk
+        color, rays = jax.lax.map(
+            lambda px: run(scene, camera, px, sample_start),
+            pixel.reshape(k, ray_chunk))
+        return color.reshape(n, 3), jnp.sum(rays)
     if shading == "path" and backend_is_fused:
         # The fused sample carries its own custom VJP (raygen + bounce scan
         # in one boundary, saving only the [B,R] i16 hit records — the
