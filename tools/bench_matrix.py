@@ -114,11 +114,17 @@ def main():
         backend="fused+regen")
 
     # --- config 4: trimesh 1080p, Möller-Trumbore in Pallas ---------------
+    # fused+regen first: the measured default route (bench.py) — chunk
+    # 43200 is its measured-best slab (BASELINE config 4 row)
     scene = make_scene("trimesh")
     cam = default_camera(scene)
-    for backend in ("fused", "pallas", "jnp"):
-        kw = dict(backend=backend, ray_chunk=86400,
-                  width=1920, height=1080, spp=2)
+    for backend, bkw in (("fused+regen", dict(backend="fused", regen=True,
+                                              ray_chunk=43200)),
+                         ("fused", dict(backend="fused", ray_chunk=86400)),
+                         ("pallas", dict(backend="pallas",
+                                         ray_chunk=86400)),
+                         ("jnp", dict(backend="jnp", ray_chunk=86400))):
+        kw = dict(width=1920, height=1080, spp=2, **bkw)
         step = sum_step(scene, cam, **kw)
         _, rays = step(scene, cam)
         dt = timeit(step, scene, cam, iters=2)
@@ -126,23 +132,25 @@ def main():
             int(rays), dt, backend=backend)
 
     # config 4 gradient step (fused tri custom-VJP — round 2): vertex +
-    # material + camera gradients through the 10k-tri scene at 1080p
-    kw = dict(width=1920, height=1080, spp=2, seed=0, backend="fused",
-              ray_chunk=86400)
-    _, rays = render_pass(scene, cam, sample_start=0, width=1920,
-                          height=1080, spp=2, backend="fused",
-                          ray_chunk=86400)
+    # material + camera gradients through the 10k-tri scene at 1080p,
+    # both the regen default and the per-sample sweep
     target = jnp.zeros((1080, 1920, 3), jnp.float32)
+    for backend, bkw in (("fused+regen", dict(backend="fused", regen=True,
+                                              ray_chunk=43200)),
+                         ("fused", dict(backend="fused",
+                                        ray_chunk=86400))):
+        kw = dict(width=1920, height=1080, spp=2, seed=0, **bkw)
+        _, rays = render_pass(scene, cam, sample_start=0, **kw)
 
-    @jax.jit
-    def g4step(scene, cam):
-        def loss(s, c):
-            return image_mse(render_mean(s, c, **kw), target)
-        return jax.grad(loss, argnums=(0, 1))(scene, cam)
+        @jax.jit
+        def g4step(scene, cam):
+            def loss(s, c):
+                return image_mse(render_mean(s, c, **kw), target)
+            return jax.grad(loss, argnums=(0, 1))(scene, cam)
 
-    dt = timeit(g4step, scene, cam, iters=2)
-    row(f"config4 trimesh {scene.tris.n_real}tris fwd+bwd 1920x1080 2spp",
-        int(rays), dt, backend="fused")
+        dt = timeit(g4step, scene, cam, iters=2)
+        row(f"config4 trimesh {scene.tris.n_real}tris fwd+bwd "
+            f"1920x1080 2spp", int(rays), dt, backend=backend)
 
 
 if __name__ == "__main__":
