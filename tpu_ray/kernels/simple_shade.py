@@ -168,9 +168,17 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, block_n: int, spp: int,
             rays = rays + jnp.where(hit, 1.0, 0.0)
         return acc + jnp.where(hit3, color, miss3), rays
 
-    acc, rays = jax.lax.fori_loop(
-        0, spp, sample,
-        (jnp.zeros((3, br), jnp.float32), jnp.zeros((1, br), jnp.float32)))
+    carry = (jnp.zeros((3, br), jnp.float32),
+             jnp.zeros((1, br), jnp.float32))
+    if spp <= 8:
+        # full unroll: the dynamic-trip fori costs a real fixed overhead
+        # per iteration on Mosaic (same finding as regen_seg_bwd's 8x
+        # unroll); BASELINE configs run 1-4 spp
+        for s in range(spp):
+            carry = sample(jnp.int32(s), carry)
+        acc, rays = carry
+    else:
+        acc, rays = jax.lax.fori_loop(0, spp, sample, carry)
     out_ref[0:3, :] = acc
     out_ref[3:4, :] = rays
     out_ref[4:8, :] = jnp.zeros((4, br), jnp.float32)
