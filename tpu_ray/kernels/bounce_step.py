@@ -1612,7 +1612,11 @@ def _fwd_list_kernel(b_ref, cnt_ref, lst_ref, state_ref, stab_ref,
         br = st.shape[1]
 
         def tri_rows(k):
-            tile = lst_ref[i, jnp.minimum(k, n_tiles_t - 1)]
+            # double clamp: k past cnt re-folds the LAST listed tile —
+            # min/strict-< folds are idempotent, so the 2x-unrolled loop
+            # below needs no odd-tail handling
+            tile = lst_ref[i, jnp.minimum(jnp.minimum(k, cnt - 1),
+                                          n_tiles_t - 1)]
             return (tri_ref[pl.ds(tile * (4 * block_m), 4 * block_m), :],
                     n_pad + tile * block_m)
 
@@ -1639,7 +1643,13 @@ def _fwd_list_kernel(b_ref, cnt_ref, lst_ref, state_ref, stab_ref,
                     carry, jnp.min(_pack_tile(tb, row0, low_mask),
                                    axis=0, keepdims=True))
 
-            carry = jax.lax.fori_loop(0, cnt, w_body, carry)
+            # 2x unroll: the dynamic-trip fori pays a fixed cost per
+            # iteration on Mosaic (measured on the regen twin: 8.77 ->
+            # 9.16M rays/s on config 4; 4x is flat)
+            def w_pair(j, carry):
+                return w_body(2 * j + 1, w_body(2 * j, carry))
+
+            carry = jax.lax.fori_loop(0, (cnt + 1) // 2, w_pair, carry)
             idx, hit = _unpack(carry, low_mask, miss_s)
         else:
             tmin = jnp.full((1, br), F32_MAX, jnp.float32)
@@ -1664,7 +1674,11 @@ def _fwd_list_kernel(b_ref, cnt_ref, lst_ref, state_ref, stab_ref,
                 tmin = jnp.where(better, tm, tmin)
                 return tmin, idxc
 
-            tmin, idxc = jax.lax.fori_loop(0, cnt, w_body, (tmin, idxc))
+            def w_pair(j, c):
+                return w_body(2 * j + 1, w_body(2 * j, c))
+
+            tmin, idxc = jax.lax.fori_loop(0, (cnt + 1) // 2, w_pair,
+                                           (tmin, idxc))
             idx = idxc
             hit = tmin < F32_MAX
 
