@@ -138,3 +138,20 @@ def test_flat_fused_chunked_matches_unchunked():
     assert int(rays0) == int(rays1)
     np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_lambert_fused_sharded_parity():
+    """The fused estimator under shard_map (1D ray mesh, scene
+    replicated) matches single-device."""
+    scene = make_scene("sixteen")
+    lights = scene_light_indices(scene)
+    cam = default_camera(scene)
+    kw = dict(width=64, height=32, spp=1, sample_start=0,
+              shading="lambert_shadow", lights=lights, backend="fused")
+    img0, rays0 = render_pass(scene, cam, **kw)
+    mesh = make_mesh((8,))
+    img, rays = render_pass_sharded(shard_scene(scene, mesh), cam,
+                                    mesh=mesh, **kw)
+    assert int(rays) == int(rays0)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
+                               rtol=1e-5, atol=1e-6)
