@@ -229,7 +229,7 @@ def main():
     prims = scene.n_pad + (scene.tris.n_pad if scene.tris is not None
                            else 0)
     ray_chunk = args.ray_chunk or None
-    if ray_chunk is None and n * prims > (1 << 28):
+    if ray_chunk is None and n * prims > (1 << 26):
         # bound the per-dispatch [chunk, prims] intersection work; the
         # regen backend additionally gains per-slab termination (each
         # slab's while_loop ends at ITS slowest lane: trimesh fwd
@@ -238,7 +238,9 @@ def main():
         # trimesh 43200 > 28800 > 86400 > 14400 (8.82/8.79/8.66/8.61M —
         # smaller slabs also sharpen the tri reachability lists, whose
         # SMEM grouping turns off below ~64 ray blocks per slab)
-        sizes = (43200, 86400, 28800, 129600, 14400, 7200, 3600)             if scene.tris is not None else             (86400, 129600, 43200, 28800, 14400, 7200, 3600)
+        sizes = (43200, 86400, 28800, 129600, 65536, 32768, 14400,
+                 7200, 3600)             if scene.tris is not None else             (86400, 65536, 129600, 131072, 43200, 32768, 28800, 14400,
+             7200, 3600)
         ray_chunk = next((c for c in sizes if n % c == 0),
                          None)  # None: run unchunked
 
