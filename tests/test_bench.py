@@ -53,3 +53,9 @@ def test_bench_default_routing_dry():
     row = _run(["--mode", "fwd+bwd", "--dry-run"])
     assert row["backend"] == "fused+regen", row["backend"]
     assert row["ray_chunk"] == 86400, row["ray_chunk"]
+    # power-of-two resolutions pick the 65536 slab (BASELINE config 3
+    # chunk sweep, r4)
+    row = _run(["--mode", "fwd+bwd", "--scene", "sixtyfour",
+                "--width", "1024", "--height", "1024", "--spp", "16",
+                "--dry-run"])
+    assert row["ray_chunk"] == 65536, row["ray_chunk"]

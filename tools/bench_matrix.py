@@ -98,9 +98,8 @@ def main():
     cam = default_camera(scene)
     # regen: the sphere-scene default (the headline backend, BASELINE.md)
     kw = dict(width=1024, height=1024, spp=16, seed=0, backend="fused",
-              regen=True)
-    _, rays = render_pass(scene, cam, sample_start=0, width=1024,
-                          height=1024, spp=16, backend="fused", regen=True)
+              regen=True, ray_chunk=65536)   # bench.py's auto-pick
+    _, rays = render_pass(scene, cam, sample_start=0, **kw)
     target = jnp.zeros((1024, 1024, 3), jnp.float32)
 
     @jax.jit
