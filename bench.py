@@ -32,7 +32,7 @@ The model is per PROCESSED lane; the reported metric divides by rays CAST
 the regen backend (the default on every fused route) processed ~= cast —
 lanes regenerate their next sample in-kernel when a ray dies — so
 vs_baseline reflects kernel efficiency, not occupancy: measured r4, fwd
-runs at 0.85 of this model and fwd+bwd at 0.74 (r3: 0.65 — the segment
+runs at 0.85 of this model and fwd+bwd at 0.76 (r3: 0.65 — the segment
 backward's hand-written _shade transpose + winner stash + per-block
 replay bounds harvested most of its 1.6x-over-3x-shade overhang;
 attribution in BASELINE.md).
