@@ -418,15 +418,22 @@ def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
         exact_argmin=exact_argmin, cull_secondary=cull_secondary,
         regen=regen)
     if fused:
-        if height % 32 == 0 and width % 32 == 0:
+        if width % 32 == 0:
             # the tile-major permutation is [Ty, Tx, yy, xx] blocks, so
-            # for 32-multiple frames its inverse is a pure
-            # reshape/transpose — XLA lowers it as a relayout copy
-            # instead of a per-row gather (measured: the [262144,3]
-            # gather was 2.5 ms of config 2's 5.5 ms step)
-            img = (color_sum.reshape(height // 32, width // 32, 32, 32, 3)
-                   .transpose(0, 2, 1, 3, 4).reshape(height, width, 3))
-            return img, rays
+            # per tile ROW its inverse is a pure reshape/transpose — XLA
+            # lowers those as relayout copies instead of a per-row
+            # gather (measured: the [262144,3] gather was 2.5 ms of
+            # config 2's 5.5 ms step). A ragged last row (height not a
+            # 32-multiple, e.g. 1080) is just a shorter segment.
+            segs = []
+            off = 0
+            for y0 in range(0, height, 32):
+                ht = min(32, height - y0)
+                seg = color_sum[off:off + ht * width]
+                segs.append(seg.reshape(width // 32, ht, 32, 3)
+                            .transpose(1, 0, 2, 3).reshape(ht, width, 3))
+                off += ht * width
+            return jnp.concatenate(segs, axis=0), rays
         color_sum = color_sum[jnp.asarray(inv)]
     return color_sum.reshape(height, width, 3), rays
 
