@@ -140,6 +140,29 @@ def tile_order(width: int, height: int, tile: int = 32):
     return perm, inv
 
 
+def untile_image(color_sum, width: int, height: int, inv):
+    """Tile-major [n,3] color buffer -> [H,W,3] image.
+
+    The tile-major permutation is [Ty, Tx, yy, xx] blocks, so per tile
+    ROW its inverse is a pure reshape/transpose — XLA lowers those as
+    relayout copies instead of a per-row gather (measured: the
+    [262144,3] gather was 2.5 ms of config 2's 5.5 ms step). A ragged
+    last row (height not a 32-multiple, e.g. 1080) is just a shorter
+    segment; only width must be a 32-multiple, else fall back to the
+    `inv` gather (from tile_order)."""
+    if width % 32 == 0:
+        segs = []
+        off = 0
+        for y0 in range(0, height, 32):
+            ht = min(32, height - y0)
+            seg = color_sum[off:off + ht * width]
+            segs.append(seg.reshape(width // 32, ht, 32, 3)
+                        .transpose(1, 0, 2, 3).reshape(ht, width, 3))
+            off += ht * width
+        return jnp.concatenate(segs, axis=0)
+    return color_sum[jnp.asarray(inv)].reshape(height, width, 3)
+
+
 def trace_rays(scene: Scene, origins, directions, stream_base,
                max_bounces: int, probe_fn: ProbeFn, bounce_policy=None,
                unroll: bool = True):
@@ -418,23 +441,7 @@ def render_pass(scene: Scene, camera: Camera, *, width: int, height: int,
         exact_argmin=exact_argmin, cull_secondary=cull_secondary,
         regen=regen)
     if fused:
-        if width % 32 == 0:
-            # the tile-major permutation is [Ty, Tx, yy, xx] blocks, so
-            # per tile ROW its inverse is a pure reshape/transpose — XLA
-            # lowers those as relayout copies instead of a per-row
-            # gather (measured: the [262144,3] gather was 2.5 ms of
-            # config 2's 5.5 ms step). A ragged last row (height not a
-            # 32-multiple, e.g. 1080) is just a shorter segment.
-            segs = []
-            off = 0
-            for y0 in range(0, height, 32):
-                ht = min(32, height - y0)
-                seg = color_sum[off:off + ht * width]
-                segs.append(seg.reshape(width // 32, ht, 32, 3)
-                            .transpose(1, 0, 2, 3).reshape(ht, width, 3))
-                off += ht * width
-            return jnp.concatenate(segs, axis=0), rays
-        color_sum = color_sum[jnp.asarray(inv)]
+        return untile_image(color_sum, width, height, inv), rays
     return color_sum.reshape(height, width, 3), rays
 
 

@@ -156,5 +156,6 @@ def render_pass_sharded(scene: Scene, camera: Camera, *, mesh: Mesh,
     )(scene, camera, pixel, jnp.asarray(sample_start, jnp.uint32),
       light_data)
     if inv is not None:
-        color_sum = color_sum[jnp.asarray(inv)]
+        from tpu_ray.models.path_tracer import untile_image
+        return untile_image(color_sum, width, height, inv), rays
     return color_sum.reshape(height, width, 3), rays
