@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--backend", default="fused")
     ap.add_argument("--regen", action="store_true",
                     help="persistent-wavefront backend (fused only)")
+    ap.add_argument("--shading", default="path",
+                    choices=["path", "flat", "lambert_shadow"],
+                    help="estimator (flat/lambert profile the fused "
+                         "estimator mega-kernel, fwd mode only)")
     ap.add_argument("--out", default="/tmp/tpuray_trace")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -111,6 +115,12 @@ def main():
     kw = dict(width=args.width, height=args.height, spp=args.spp, seed=0,
               max_bounces=5, backend=args.backend, ray_chunk=ray_chunk,
               regen=args.regen)
+    if args.shading != "path":
+        assert args.mode == "fwd", "estimator profiles are forward-only"
+        from tpu_ray.ops.shading_modes import scene_light_indices
+        kw.update(shading=args.shading, regen=False)
+        if args.shading == "lambert_shadow":
+            kw["lights"] = scene_light_indices(scene)
 
     if args.mode == "fwd":
         def step(scene, camera):
