@@ -71,3 +71,36 @@ def test_obj_scene_renders(cube_path):
                               height=54, spp=1, sample_start=0, seed=0)
     np.testing.assert_allclose(img, np.asarray(img2), atol=2e-3)
     assert int(rays) == int(rays2)
+
+
+def test_obj_scene_gradients():
+    """Gradients flow through an OBJ-loaded soup on the default (regen)
+    route: vertex/material/camera cotangents are finite and the vertex
+    cotangent is nonzero (the mesh fills the frame center)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_ray import default_camera, make_scene
+    from tpu_ray.grad import image_mse, render_mean
+
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "ico1.obj")
+    scene = make_scene(f"obj:{path}")
+    cam = default_camera(scene)
+    target = jnp.zeros((24, 32, 3), jnp.float32)
+
+    def loss(scene, cam):
+        return image_mse(render_mean(scene, cam, width=32, height=24,
+                                     spp=1, sample_start=0,
+                                     backend="fused", regen=True), target)
+
+    g_scene, g_cam = jax.grad(loss, argnums=(0, 1))(scene, cam)
+    leaves = jax.tree.leaves((g_scene, g_cam))
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    # edge gradients flow through the triangle normal (scatter -> sky);
+    # v0's PLANE-OFFSET path is exactly zero here and that is correct
+    # physics: the scene is a convex mesh with no other geometry, so a
+    # shifted hit point changes no downstream radiance (every secondary
+    # ray sees only the direction-dependent sky) — dk = 0 => dv0 = 0
+    assert float(jnp.sum(jnp.abs(g_scene.tris.e1))) > 0.0
+    assert float(jnp.sum(jnp.abs(g_scene.tris.albedo))) > 0.0
+    assert float(jnp.sum(jnp.abs(g_scene.tris.v0))) == 0.0
