@@ -78,3 +78,14 @@ def test_triangle_mesh(tmp_path, backend):
         TINY + ["--subdivisions", "1", "--backend", backend, "--out", out])
     img = np.asarray(img)
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+@pytest.mark.parametrize("shading", ["flat", "lambert_shadow"])
+def test_simple_estimators(tmp_path, shading):
+    out = str(tmp_path / "e.png")
+    rays = _load("07_simple_estimators").main(
+        TINY + ["--scene", "sixteen", "--backend", "fused",
+                "--shading", shading, "--out", out])
+    n = 64 * 40
+    assert rays == n if shading == "flat" else rays > n
+    assert os.path.getsize(out) > 100
