@@ -64,10 +64,45 @@ def test_fused_backend_autoroutes_past_cliff(monkeypatch):
                                     backend="jnp", **kw)
     monkeypatch.setattr(bounce_step, "resident_tables_fit",
                         lambda n, m: False)
+    # sort_rays=False pins the SEARCH certification: with sorting on, XLA
+    # contracts the same per-lane ops differently around the permutes
+    # (~1-ulp drift, the usual cross-program class) — the sorted route is
+    # covered by test_sorted_bounces_match below
+    import tpu_ray.models.path_tracer as pt
+    orig = pt.trace_rays
+    monkeypatch.setattr(
+        pt, "trace_rays",
+        lambda *a, **k: orig(*a, **{**k, "sort_rays": False}))
     got_img, got_rays = render_pass(scene, default_camera(scene),
                                     backend="fused", regen=True, **kw)
     assert int(ref_rays) == int(got_rays)
     np.testing.assert_array_equal(np.asarray(ref_img), np.asarray(got_img))
+
+
+def test_sorted_bounces_match(monkeypatch):
+    """The direction-sorted secondary-bounce wavefront (the streaming
+    route's default) matches the unsorted trace: rays EXACTLY (integer
+    counter, permutation-invariant), radiance to the ~1-ulp
+    cross-program contraction class."""
+    from tpu_ray.kernels import bounce_step
+    from tpu_ray.models.path_tracer import render_pass
+
+    scene = make_trimesh_scene(subdivisions=1)
+    kw = dict(width=32, height=16, spp=1, sample_start=0, max_bounces=3)
+    monkeypatch.setattr(bounce_step, "resident_tables_fit",
+                        lambda n, m: False)
+    a_img, a_rays = render_pass(scene, default_camera(scene),
+                                backend="jnp", **kw)   # auto: sorted
+    import tpu_ray.models.path_tracer as pt
+    orig = pt.trace_rays
+    monkeypatch.setattr(
+        pt, "trace_rays",
+        lambda *a, **k: orig(*a, **{**k, "sort_rays": False}))
+    b_img, b_rays = render_pass(scene, default_camera(scene),
+                                backend="jnp", **kw)
+    assert int(a_rays) == int(b_rays)
+    np.testing.assert_allclose(np.asarray(a_img), np.asarray(b_img),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_bigmesh_scene_past_cliff():

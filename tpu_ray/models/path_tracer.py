@@ -165,7 +165,7 @@ def untile_image(color_sum, width: int, height: int, inv):
 
 def trace_rays(scene: Scene, origins, directions, stream_base,
                max_bounces: int, probe_fn: ProbeFn, bounce_policy=None,
-               unroll: bool = True):
+               unroll: bool = True, sort_rays: bool | None = None):
     """Trace a flat ray wavefront to completion.
 
     -> (color [R,3] linear radiance, rays_cast [R] u32).
@@ -174,10 +174,40 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
     reverse sweep recomputes each bounce's shading chain instead of saving
     stacked [bounces, R, 3] intermediates (pairs with 'save_hits': the
     recompute is cheap because the search is DCE'd).
+
+    sort_rays (default: on exactly for the HBM-streaming big-mesh route):
+    re-sort the wavefront at the top of every bounce by (alive,
+    direction octant), stable. Post-diffuse blocks mix hemisphere
+    directions, so their reachable-tile lists degrade to ~hemispheres
+    (measured bigmesh bounce 1: mean reach 408/1281 tiles natural vs 205
+    octant-sorted — exactly 2x); the streaming search pays DMA + MT fold
+    per listed tile, so block direction coherence halves the dominant
+    secondary-bounce cost. Every per-lane value rides the permutation
+    (including the RNG stream base) and the output is unsorted at the
+    end, so results are BIT-IDENTICAL to the unsorted trace — the sort
+    only regroups lanes into blocks. Dead rays sort last, so exhausted
+    blocks also become all-dead and their lists empty out.
     """
+    if sort_rays is None:
+        from tpu_ray.kernels.bounce_step import resident_tables_fit
+        sort_rays = (scene.tris is not None and
+                     not resident_tables_fit(scene.n_pad,
+                                             scene.tris.n_pad))
 
     def bounce(carry, b):
-        origin, direction, atten, color, alive, rays_cast = carry
+        origin, direction, atten, color, alive, rays_cast, base, slot = \
+            carry
+        if sort_rays:
+            octant = ((direction[:, 0] > 0.0).astype(jnp.int32) * 4
+                      + (direction[:, 1] > 0.0).astype(jnp.int32) * 2
+                      + (direction[:, 2] > 0.0).astype(jnp.int32))
+            order = jnp.argsort(jnp.where(alive, octant, jnp.int32(8)),
+                                stable=True)
+            origin, direction, atten, color = (
+                origin[order], direction[order], atten[order],
+                color[order])
+            alive, rays_cast, base, slot = (
+                alive[order], rays_cast[order], base[order], slot[order])
         rays_cast = rays_cast + alive.astype(jnp.uint32)
 
         p = probe_fn(scene, origin, direction)
@@ -193,17 +223,18 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
         atten = jnp.where(lh, atten * p.albedo, atten)
 
         rand3 = jnp.stack(
-            [rng.draw_uniform(stream_base, b, s, -1.0, 1.0, jnp) for s in range(3)],
+            [rng.draw_uniform(base, b, s, -1.0, 1.0, jnp) for s in range(3)],
             axis=-1,
         )
-        rand_reflect = rng.draw_uniform(stream_base, b, 3, 0.0, 1.0, jnp)
+        rand_reflect = rng.draw_uniform(base, b, 3, 0.0, 1.0, jnp)
         new_dir = scatter_direction(
             direction, p.normal_raw, p.inside, p.specular, p.ior,
             rand3, rand_reflect,
         )
         direction = jnp.where(lh, new_dir, direction)
         origin = jnp.where(lh, p.next_origin, origin)
-        return (origin, direction, atten, color, live_hit, rays_cast), None
+        return (origin, direction, atten, color, live_hit, rays_cast,
+                base, slot), None
 
     n = origins.shape[0]
     init = (
@@ -213,6 +244,8 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
         jnp.zeros((n, 3), jnp.float32),   # output color
         jnp.ones((n,), bool),             # alive
         jnp.zeros((n,), jnp.uint32),      # rays cast
+        stream_base,                      # per-ray RNG base (rides sorts)
+        jnp.arange(n, dtype=jnp.int32),   # original slot (for unsorting)
     )
     # scan (not fori_loop) so the bounce loop is reverse-differentiable for
     # the inverse-rendering path (tpu_ray.grad); identical forward ops.
@@ -222,25 +255,30 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
     # inter-bounce HBM round-trips (measured ~1.18x fwd+bwd on unchunked
     # wavefronts; REGRESSES inside lax.map ray-chunking, so chunked traces
     # pass unroll=False)
-    (_, _, _, color, _, rays_cast), _ = jax.lax.scan(
+    (_, _, _, color, _, rays_cast, _, slot), _ = jax.lax.scan(
         bounce, init, jnp.arange(max_bounces, dtype=jnp.uint32),
         unroll=bool(unroll))
+    if sort_rays:
+        inv = jnp.argsort(slot)
+        color, rays_cast = color[inv], rays_cast[inv]
     return color, rays_cast
 
 
 def _trace_maybe_chunked(scene, origins, directions, base, max_bounces,
                          probe_fn, ray_chunk: Optional[int],
-                         bounce_policy=None):
+                         bounce_policy=None, sort_rays=None):
     if ray_chunk is None:
         return trace_rays(scene, origins, directions, base, max_bounces,
-                          probe_fn, bounce_policy, unroll=True)
+                          probe_fn, bounce_policy, unroll=True,
+                          sort_rays=sort_rays)
     n = origins.shape[0]
     k = n // ray_chunk
 
     def one(args):
         o, d, bs = args
         return trace_rays(scene, o, d, bs, max_bounces, probe_fn,
-                          bounce_policy, unroll=False)
+                          bounce_policy, unroll=False,
+                          sort_rays=sort_rays)
 
     color, rays = jax.lax.map(one, (
         origins.reshape(k, ray_chunk, 3),
