@@ -198,6 +198,13 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
         origin, direction, atten, color, alive, rays_cast, base, slot = \
             carry
         if sort_rays:
+            # 8 octants measured best end-to-end. Finer 2-bit/axis bins
+            # cut bounce-1 LIST reach further (bigmesh: 408 natural /
+            # 205 octants / 107 at 64 bins) yet run SLOWER at the real
+            # 43200-ray slab size (1.250 vs 1.328M rays/s): 64 keys
+            # across ~42 blocks fragment the stable sort's origin
+            # locality, and the extra DMA'd tiles cost less than the
+            # coherence lost
             octant = ((direction[:, 0] > 0.0).astype(jnp.int32) * 4
                       + (direction[:, 1] > 0.0).astype(jnp.int32) * 2
                       + (direction[:, 2] > 0.0).astype(jnp.int32))
