@@ -343,3 +343,21 @@ def test_fused_grads_sharded_match_single():
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(
             a, b, rtol=1e-4, atol=1e-7 + 1e-5 * max(1e-30, np.abs(b).max()))
+
+
+def test_untile_image_matches_inverse_permutation():
+    """untile_image's reshape/transpose route == the plain inv gather for
+    arbitrary data, across multiple (width, height) shapes including
+    ragged tile rows — a pure-permutation unit guard for the r4 gather
+    replacement."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_ray.models.path_tracer import tile_order, untile_image
+
+    rng = np.random.default_rng(0)
+    for w, h in [(32, 24), (64, 40), (96, 32), (64, 64), (160, 72)]:
+        perm, inv = tile_order(w, h)
+        buf = rng.standard_normal((w * h, 3)).astype(np.float32)
+        want = buf[inv].reshape(h, w, 3)
+        got = np.asarray(untile_image(jnp.asarray(buf), w, h, inv))
+        np.testing.assert_array_equal(got, want), (w, h)
