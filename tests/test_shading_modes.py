@@ -155,3 +155,26 @@ def test_lambert_fused_sharded_parity():
     assert int(rays) == int(rays0)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lambert_fused_chunked_grad():
+    """Gradients through the chunked fused-estimator route (lax.map over
+    the custom-VJP trace) stay finite and match the unchunked route."""
+    import jax
+
+    scene = make_scene("sixteen")
+    lights = scene_light_indices(scene)
+    cam = default_camera(scene)
+
+    def loss(scene, cam, chunk):
+        img, _ = render_pass(scene, cam, width=64, height=32, spp=1,
+                             sample_start=0, shading="lambert_shadow",
+                             lights=lights, backend="fused",
+                             ray_chunk=chunk)
+        return jnp.sum(img ** 2) * 1e-3
+
+    g0 = jax.grad(loss, argnums=(0, 1))(scene, cam, None)
+    g1 = jax.grad(loss, argnums=(0, 1))(scene, cam, 1024)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
