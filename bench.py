@@ -48,7 +48,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
 import jax
 
@@ -132,14 +131,20 @@ def measure_tri_reach(scene, camera, args, stride: int = 4) -> float:
 
 
 def bench_scaling(args, scene, camera, kw):
-    """Scaling efficiency: sharded forward rays/s on 1..n_devices meshes.
+    """Scaling efficiency: sharded rays/s on 1..n_devices meshes, measured
+    for BOTH the forward pass and the full fwd+bwd gradient step (gradient
+    psum over the ray axis included — the exact shape of the BASELINE
+    north-star metric, >=85% efficiency 1 chip -> N).
 
-    The BASELINE north-star target is >=85% efficiency 1 chip -> N; with one
-    real chip this mode measures the sharding machinery's overhead on
-    whatever devices exist (run with the virtual CPU platform for an 8-way
-    mesh; the driver's dryrun covers compile-correctness of the same path).
+    `kw` carries the RESOLVED production routing (backend, regen, chunk) —
+    the same defaults bench.py's headline run uses. With one real chip this
+    mode measures the sharding machinery's overhead on whatever devices
+    exist (run with the virtual CPU platform for an 8-way mesh; the
+    driver's dryrun covers compile-correctness of the same path).
     """
+    from tpu_ray.grad import image_mse, render_mean_sharded
     from tpu_ray.parallel import make_mesh, render_pass_sharded, shard_scene
+    from tpu_ray.utils.metrics import hard_timeit
 
     n_dev = len(jax.devices())
     # full power-of-two sweep (1/2/4/8/...): per-n rays/s characterizes how
@@ -148,39 +153,58 @@ def bench_scaling(args, scene, camera, kw):
     # (virtual CPU devices share physical cores)
     sweep = sorted({1, n_dev} | {2 ** k for k in range(1, 30)
                                  if 2 ** k < n_dev})
-    results = {}
-    for n in sweep:
-        if n in results or args.width * args.height % n:
-            continue
-        mesh = make_mesh((n,))
-        s = shard_scene(scene, mesh)
-        def step(s, camera):
-            return render_pass_sharded(s, camera, mesh=mesh, sample_start=0,
-                                       **kw)
-        img, rays = step(s, camera)
-        jax.block_until_ready(img)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            img, rays = step(s, camera)
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / args.iters
-        results[n] = int(rays) / dt
-    eff = (results[n_dev] / n_dev) / results[1] if n_dev > 1 else 1.0
+    target = jnp.zeros((args.height, args.width, 3), jnp.float32)
     note = None
     if jax.devices()[0].platform == "cpu":
         note = ("virtual CPU devices share physical cores: per-device "
                 "efficiency is not meaningful, only the correctness of the "
                 "sharded path; run on a real multi-chip slice for the "
                 "true number")
-    print(json.dumps({
-        **({"note": note} if note else {}),
-        "metric": f"scaling efficiency 1->{n_dev} devices "
-                  f"{args.width}x{args.height} {args.spp}spp {args.scene}",
-        "value": round(eff, 4),
-        "unit": "fraction",
-        "vs_baseline": round(eff / 0.85, 4),
-        **{f"rays_per_s_{n}dev": round(v, 1) for n, v in results.items()},
-    }))
+    total_rays = None  # identical at every shard count (psum'd pass total)
+    for mode in (("fwd", "fwd+bwd") if args.mode == "scaling"
+                 else (args.mode,)):
+        results = {}
+        for n in sweep:
+            if n in results or args.width * args.height % n:
+                continue
+            mesh = make_mesh((n,))
+            s = shard_scene(scene, mesh)
+            if mode == "fwd":
+                def step(s, camera, mesh=mesh):
+                    img, rays = render_pass_sharded(
+                        s, camera, mesh=mesh, sample_start=0, **kw)
+                    return jnp.sum(img), rays
+                _, rays = step(s, camera)
+                total_rays = int(rays)
+            else:
+                gkw = {k: v for k, v in kw.items()
+                       if k not in ("shading", "lights")}
+
+                @jax.jit
+                def step(s, camera, mesh=mesh, gkw=gkw):
+                    def loss_fn(s, c):
+                        return image_mse(render_mean_sharded(
+                            s, c, mesh=mesh, sample_start=0, **gkw), target)
+                    return jax.grad(loss_fn, argnums=(0, 1))(s, camera)
+                if total_rays is None:
+                    _, rays = render_pass_sharded(
+                        s, camera, mesh=mesh, sample_start=0, **kw)
+                    total_rays = int(rays)
+            dt = hard_timeit(step, s, camera, iters=args.iters)
+            results[n] = total_rays / dt
+        eff = (results[n_dev] / n_dev) / results[1] if n_dev > 1 else 1.0
+        print(json.dumps({
+            **({"note": note} if note else {}),
+            "metric": f"scaling efficiency {mode} 1->{n_dev} devices "
+                      f"{args.width}x{args.height} {args.spp}spp "
+                      f"{args.scene}",
+            "value": round(eff, 4),
+            "unit": "fraction",
+            "vs_baseline": round(eff / 0.85, 4),
+            "backend": kw["backend"] + ("+regen" if kw.get("regen") else ""),
+            **{f"rays_per_s_{n}dev": round(v, 1)
+               for n, v in results.items()},
+        }), flush=True)
     return None
 
 
@@ -247,8 +271,6 @@ def main():
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               seed=0, max_bounces=args.max_bounces, backend=args.backend,
               ray_chunk=ray_chunk)
-    if args.mode == "scaling":
-        return bench_scaling(args, scene, camera, kw)
     if args.cull_secondary:
         kw["cull_secondary"] = True
     if args.regen is None:
@@ -260,6 +282,11 @@ def main():
         assert args.backend == "fused", (
             "--regen is the fused persistent wavefront")
         kw["regen"] = True
+    if args.mode == "scaling":
+        # kw now carries the RESOLVED production routing (r4 ordering bug:
+        # scaling returned before regen was added, so SCALING_r4 swept the
+        # per-sample fused backend instead of the headline fused+regen path)
+        return bench_scaling(args, scene, camera, kw)
 
     m_pad = scene.tris.n_pad if scene.tris is not None else 0
     from tpu_ray.kernels.bounce_step import resident_tables_fit
@@ -289,8 +316,12 @@ def main():
     # reference's stats metric, main.cpp:696-703) rides along as a
     # non-differentiated output instead of costing a second fwd compile
     if args.mode == "fwd":
+        @jax.jit
         def step(scene, camera):
-            return render_pass(scene, camera, sample_start=0, **kw)
+            # scalar image reduction so the hard host-fetch sync (see below)
+            # transfers bytes, not the full frame
+            img, rays = render_pass(scene, camera, sample_start=0, **kw)
+            return jnp.sum(img), rays
     else:
         target = jnp.zeros((args.height, args.width, 3), jnp.float32)
 
@@ -328,15 +359,21 @@ def main():
             **({"provisional": True, "iters": 1} if provisional else {}),
         }), flush=True)
 
+    # timing discipline: every measured edge syncs with a HARD host fetch
+    # (utils.metrics.hard_timeit) — jax.block_until_ready can return early
+    # through the axon tunnel (BASELINE.md "Timing-method correction"), so
+    # no code path here may produce an async-optimistic number, even for
+    # user-supplied small configs where steps are sub-10 ms
+    import numpy as np
+    from tpu_ray.utils.metrics import hard_timeit
+
     out = step(scene, camera)           # compile + warm up
-    jax.block_until_ready(out)
-    total_rays = int(out[1])
+    np.asarray(jax.tree.leaves(out)[0])
+    total_rays = int(out[1])            # both modes return (payload, rays)
 
     # first timed step -> provisional line immediately (a driver timeout
     # during the remaining iterations still leaves a parseable tail)
-    t0 = time.perf_counter()
-    jax.block_until_ready(step(scene, camera))
-    dt1 = time.perf_counter() - t0
+    dt1 = hard_timeit(step, scene, camera, iters=1)
     emit(dt1, total_rays, TRI_REACH, provisional=True)
 
     # per-scene measured reachable-tile fraction for the SoL floor
@@ -345,11 +382,7 @@ def main():
     tri_reach = measure_tri_reach(scene, camera, args) \
         if m_pad and not tri_stream else TRI_REACH
 
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = step(scene, camera)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = hard_timeit(step, scene, camera, iters=args.iters)
     emit(dt, total_rays, tri_reach, provisional=False)
 
 

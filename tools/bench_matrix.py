@@ -13,7 +13,6 @@ virtual-mesh scaling mode; multi-chip hardware unavailable, see BASELINE.md)
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,21 +25,10 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 
 def timeit(step, *args, iters=3):
-    """Wall time per step with a HARD host fetch of the first output leaf
-    after the loop: through the axon tunnel, jax.block_until_ready on the
-    final dispatch has been observed to return before execution completes
-    (r3's config-1 342M rays/s row was async-optimistic garbage at the
-    0.2 ms scale); a device->host transfer cannot. Callers keep per-step
-    outputs SMALL (a scalar reduction, or a grad pytree) so the fetch
-    itself is negligible."""
-    import numpy as np
-    out = step(*args)
-    np.asarray(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    np.asarray(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / iters
+    """Hard host-fetch timing, shared with bench.py — see
+    tpu_ray.utils.metrics.hard_timeit for the async-return rationale."""
+    from tpu_ray.utils.metrics import hard_timeit
+    return hard_timeit(step, *args, iters=iters)
 
 
 def row(name, rays, seconds, **extra):

@@ -17,6 +17,32 @@ from typing import IO, Optional
 import jax
 
 
+def hard_timeit(step, *args, iters: int = 3) -> float:
+    """Wall time per step with a HARD host fetch of the first output leaf
+    after the loop.
+
+    Through the axon TPU tunnel, `jax.block_until_ready` on the final
+    dispatch has been observed to return before execution completes (the
+    r3 config-1 342M rays/s row was async-optimistic garbage at the 0.2 ms
+    scale — BASELINE.md "Timing-method correction"); a device->host
+    transfer cannot return early. This mirrors the reference's discipline
+    of stamping completion time from the LAST finisher, never the
+    dispatcher (reference wasm/wasm.cpp:643-647). Callers keep per-step
+    outputs SMALL (a scalar reduction or a grad pytree) so the fetch is
+    negligible. Shared by bench.py and tools/bench_matrix.py so no code
+    path in the artifact-of-record tools can produce an async-optimistic
+    number.
+    """
+    import numpy as np
+    out = step(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    np.asarray(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
 class StepTimer:
     """Wall-time a device computation (device-synchronized on both edges)."""
 
