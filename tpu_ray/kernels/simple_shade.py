@@ -22,7 +22,7 @@ Parity class vs the probe backends: the fused search evaluates the same
 quadratic through a different f32 op sequence (K-stacked coefficient
 matmul vs the probe's projection form), so rare borderline/near-tie
 winners can differ — the same statistical-parity contract as the fused
-path backend (tests/test_simple_fused.py; goldens pin the fused route
+path backend (tests/test_shading_modes.py:72-178; goldens pin the fused route
 separately, as for path mode).
 
 Gradients: the host wrapper carries a custom VJP whose backward re-runs
