@@ -115,6 +115,118 @@ def speed_of_light_rays_per_s(n_pad: int, chip: str, mode: str,
     return 1.0 / per_ray
 
 
+# Per-chip HBM bandwidth (bytes/s): the streaming route's DMA floor term.
+HBM_BW_BYTES = {"v5e": 8.1e11, "v5p": 2.765e12, "v4": 1.2e12}
+
+
+def measure_stream_floor(scene, camera, args, ray_chunk, chip: str,
+                         stride: int = 4):
+    """DMA-aware speed-of-light for the HBM-streaming big-mesh route.
+
+    The static op-mix model cannot price this route: its dominant cost is
+    streaming reachable [4*block_m,128] coefficient tiles from HBM per ray
+    block per bounce. This measures the ACTUAL tile traffic — it re-runs
+    the exact production wavefront (tile-major order, same chunking, the
+    sorted-bounce permutation, alive-aware lists) on a strided subsample
+    of chunks with trace_rays(collect_states=True), rebuilds each bounce's
+    reachability lists from the collected post-sort states, and counts the
+    tiles every ray block would DMA. The floor is then
+
+        max(DMA bytes / HBM bandwidth, MT fold flops as executed)
+        + cast_rays * (sphere search + shade op mix)     [+3x shade bwd]
+
+    (the DMA and the MT fold overlap inside the double-buffered kernel —
+    max; the sphere search and XLA shading glue run outside it — add).
+    The backward never re-runs the search (save_hits DCE / stop_gradient),
+    so fwd+bwd adds only the replay+transpose shade term of the main model.
+
+    -> (floor_rays_per_s, stats dict for the bench record)."""
+    import numpy as np
+    from tpu_ray.kernels.bounce_step import (list_group, tri_block_lists,
+                                             tri_tile_boxes)
+    from tpu_ray.models.path_tracer import probe_jnp, tile_order, trace_rays
+    from tpu_ray.ops.intersect import payload_tables
+    from tpu_ray.ops.intersect_tri import tri_payload_tables
+    from tpu_ray.ops.raygen import camera_rays
+
+    w, h = args.width, args.height
+    n = w * h
+    chunk = ray_chunk or n
+    n_chunks = n // chunk
+    perm, _ = tile_order(w, h)
+    pixels = jnp.asarray(perm[: n_chunks * chunk]).reshape(n_chunks, chunk)
+    sampled = list(range(0, n_chunks, stride)) or [0]
+
+    block_r, block_m = 1024, 128        # nearest_hit_tri_stream defaults
+    m_pad = scene.tris.n_pad
+    n_tiles = m_pad // block_m
+    r_pad = -(-chunk // block_r) * block_r
+    n_blocks = r_pad // block_r
+    grp = list_group(n_blocks, n_tiles)
+    boxes = tri_tile_boxes(scene.tris, block_m)
+    tables = payload_tables(scene)
+    tri_tables = tri_payload_tables(scene.tris)
+    probe = lambda sc, o, d, **k: probe_jnp(sc, o, d, tables=tables,
+                                            tri_tables=tri_tables, **k)
+    # blocks served by each list group (the kernel DMAs cnt[g] tiles per
+    # BLOCK in group g)
+    gsz = np.minimum(grp, n_blocks - np.arange(0, n_blocks, grp))
+
+    @jax.jit
+    def chunk_stats(px):
+        o, d, base = camera_rays(camera, w, h, px, jnp.uint32(0), 0)
+        _, rays_cast, (so, sd, sa) = trace_rays(
+            scene, o, d, base, args.max_bounces, probe, unroll=False,
+            sort_rays=True, collect_states=True)
+
+        def per_bounce(carry, st3):
+            ob, db, ab = st3
+            st = jnp.zeros((16, r_pad), jnp.float32)
+            st = (st.at[0:3, :chunk].set(ob.T).at[3:6, :chunk].set(db.T)
+                  .at[12, :chunk].set(ab.astype(jnp.float32)))
+            cnt, _ = tri_block_lists(boxes, st, block_r, grp)
+            return carry + jnp.sum(cnt[:, 0] * jnp.asarray(gsz)), None
+
+        tiles, _ = jax.lax.scan(per_bounce, jnp.zeros((), jnp.int32),
+                                (so, sd, sa))
+        return tiles, jnp.sum(rays_cast)
+
+    tiles = rays = 0
+    for i in sampled:
+        t, rc = chunk_stats(pixels[i])
+        tiles += int(t)
+        rays += int(rc)
+    scale = n_chunks / len(sampled) * args.spp
+    tiles_step = tiles * scale
+    rays_step = rays * scale
+
+    mxu = MXU_BF16_FLOPS.get(chip, 1.97e14)
+    vpu = VPU_F32_FLOPS.get(chip, 1.5e12)
+    bw = HBM_BW_BYTES.get(chip, 8.1e11)
+    tile_bytes = 4 * block_m * 128 * 2          # bf16, K padded to 128
+    dma_s = tiles_step * tile_bytes / bw
+    # MT fold as executed: one [4*block_m,128]x[128,block_r] DEFAULT
+    # matmul + ~12 VPU chain ops per (ray, tri) pair, ALL lanes of the
+    # block (the kernel folds whole blocks)
+    mt_s = tiles_step * (2.0 * 4 * block_m * 128 * block_r / mxu
+                         + TRI_CHAIN_PER_PAIR * block_m * block_r / vpu)
+    shade_s = (GATHER_PASSES * 2.0 * 48 * (scene.n_pad + m_pad) / mxu
+               + SHADE_OPS_PER_RAY / vpu)
+    sphere_s = max(SEARCH_PASSES * 2.0 * (2 * scene.n_pad) * 128 / mxu,
+                   CHAIN_OPS_PER_PAIR * scene.n_pad / vpu)
+    per_ray = sphere_s + shade_s
+    if args.mode == "fwd+bwd":
+        per_ray += 3.0 * shade_s
+    floor_s = max(dma_s, mt_s) + rays_step * per_ray
+    return rays_step / floor_s, {
+        "stream_tiles_per_step": round(tiles_step),
+        "stream_gb_per_step": round(tiles_step * tile_bytes / 1e9, 3),
+        "stream_dma_floor_s": round(dma_s, 4),
+        "stream_mt_floor_s": round(mt_s, 4),
+        "stream_rays_cast_modeled": round(rays_step),
+    }
+
+
 def measure_tri_reach(scene, camera, args, stride: int = 4) -> float:
     """Per-scene reachable-tile fraction of the list sweep, measured on a
     strided subsample of whole ray blocks (block coherence preserved — the
@@ -336,10 +448,16 @@ def main():
                 loss_fn, argnums=(0, 1), has_aux=True)(scene, camera)
             return grads, rays
 
-    def emit(dt, total_rays, tri_reach, provisional: bool):
+    def emit(dt, total_rays, tri_reach, provisional: bool,
+             sol_override=None, extra=None):
         value = total_rays / dt
-        sol = speed_of_light_rays_per_s(scene.n_pad, args.chip, args.mode,
-                                        m_pad, tri_reach)
+        sol = sol_override or speed_of_light_rays_per_s(
+            scene.n_pad, args.chip, args.mode, m_pad, tri_reach)
+        backend = args.backend + ("+regen" if args.regen else "")
+        if tri_stream:
+            # the fused/regen kernels cannot run past the residency
+            # cliff; report the route actually executed
+            backend = "probe+stream"
         print(json.dumps({
             "metric": f"rays/s/chip {args.mode} {args.width}x{args.height} "
                       f"{args.spp}spp {args.scene}",
@@ -349,13 +467,16 @@ def main():
             "total_rays_per_step": total_rays,
             "step_seconds": round(dt, 4),
             "ns_per_ray": round(dt / total_rays * 1e9, 3),
-            "backend": args.backend + ("+regen" if args.regen else ""),
+            "backend": backend,
             "ray_chunk": ray_chunk,
             "speed_of_light_rays_per_s": round(sol, 1),
             **({"tri_reach": round(tri_reach, 4),
                 "tri_reach_source": "static" if tri_reach == TRI_REACH
-                else "measured"} if m_pad else {}),
-            **({"tri_stream": True} if tri_stream else {}),
+                else "measured"} if m_pad and not tri_stream else {}),
+            **({"tri_stream": True,
+                "sol_model": "static-fallback" if sol_override is None
+                else "measured-dma"} if tri_stream else {}),
+            **(extra or {}),
             **({"provisional": True, "iters": 1} if provisional else {}),
         }), flush=True)
 
@@ -377,13 +498,18 @@ def main():
     emit(dt1, total_rays, TRI_REACH, provisional=True)
 
     # per-scene measured reachable-tile fraction for the SoL floor
-    # (resident tri scenes only; one strided-subsample sweep of the list
-    # kernels — the streamed route has no resident sweep to measure)
+    # (resident tri scenes only); the streaming route instead gets the
+    # measured DMA-aware floor (tile traffic of the real wavefront)
     tri_reach = measure_tri_reach(scene, camera, args) \
         if m_pad and not tri_stream else TRI_REACH
+    stream_sol, stream_stats = (None, None)
+    if tri_stream:
+        stream_sol, stream_stats = measure_stream_floor(
+            scene, camera, args, ray_chunk, args.chip)
 
     dt = hard_timeit(step, scene, camera, iters=args.iters)
-    emit(dt, total_rays, tri_reach, provisional=False)
+    emit(dt, total_rays, tri_reach, provisional=False,
+         sol_override=stream_sol, extra=stream_stats)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,19 @@ from tpu_ray.kernels.tri_intersect import (nearest_hit_tri_pallas,
 from tpu_ray.ops.raygen import camera_rays
 
 
+@pytest.fixture(autouse=True)
+def _isolate_jit_cache():
+    """render_pass is a module-level jax.jit: a monkeypatched route change
+    does NOT change its cache key, so a same-signature render from an
+    earlier test would silently return the UNPATCHED executable (verified:
+    resident_tables_fit is never called on the cache hit) — and, symmetric
+    hazard, a later unpatched test could get a patched one. Every test in
+    this module therefore leaves a clean cache behind, and the
+    monkeypatching tests clear again right after patching."""
+    yield
+    jax.clear_caches()
+
+
 def _rays(scene, w=64, h=36):
     cam = default_camera(scene)
     pix = jnp.arange(w * h, dtype=jnp.int32)
@@ -73,6 +86,7 @@ def test_fused_backend_autoroutes_past_cliff(monkeypatch):
     monkeypatch.setattr(
         pt, "trace_rays",
         lambda *a, **k: orig(*a, **{**k, "sort_rays": False}))
+    jax.clear_caches()     # see _isolate_jit_cache
     got_img, got_rays = render_pass(scene, default_camera(scene),
                                     backend="fused", regen=True, **kw)
     assert int(ref_rays) == int(got_rays)
@@ -91,6 +105,7 @@ def test_sorted_bounces_match(monkeypatch):
     kw = dict(width=32, height=16, spp=1, sample_start=0, max_bounces=3)
     monkeypatch.setattr(bounce_step, "resident_tables_fit",
                         lambda n, m: False)
+    jax.clear_caches()     # see _isolate_jit_cache
     a_img, a_rays = render_pass(scene, default_camera(scene),
                                 backend="jnp", **kw)   # auto: sorted
     import tpu_ray.models.path_tracer as pt
@@ -98,11 +113,85 @@ def test_sorted_bounces_match(monkeypatch):
     monkeypatch.setattr(
         pt, "trace_rays",
         lambda *a, **k: orig(*a, **{**k, "sort_rays": False}))
+    jax.clear_caches()     # the sorted a_img primed this same signature
     b_img, b_rays = render_pass(scene, default_camera(scene),
                                 backend="jnp", **kw)
     assert int(a_rays) == int(b_rays)
     np.testing.assert_allclose(np.asarray(a_img), np.asarray(b_img),
                                rtol=1e-6, atol=1e-6)
+
+
+def _grads(scene, cam, monkeypatch_sort_off=None, **kw):
+    from tpu_ray.grad import image_mse, render_mean
+    target = jnp.zeros((kw["height"], kw["width"], 3), jnp.float32)
+
+    def loss(s, c):
+        return image_mse(render_mean(s, c, **kw), target)
+
+    return jax.jit(jax.grad(loss, argnums=(0, 1)))(scene, cam)
+
+
+def _assert_grad_trees_close(got, ref, rtol, atol_scale=1e-6):
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    flat_r, _ = jax.tree_util.tree_flatten(ref)
+    assert len(flat_g) == len(flat_r)
+    nonzero = 0
+    for a, b in zip(flat_g, flat_r):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol_scale * max(1e-30, np.abs(b).max()))
+        nonzero += float(np.abs(b).sum()) > 0
+    assert nonzero >= 4, "grad parity is vacuous — too many zero leaves"
+
+
+def test_stream_grads_match_resident_route(monkeypatch):
+    """Gradient parity PAST the residency cliff (the route's flagship
+    capability — the reference cannot differentiate at all, and r4 shipped
+    the streaming search forward-only): jax.grad of render_mean through
+    the auto-routed stream search must match the resident jnp route on
+    the same geometry. Gradients flow through the O(R) payload recompute
+    (tri_payload) from the stream kernel's winners, which are bit-identical
+    to the resident sweep on CPU — so with the sort disabled the
+    gradients agree to roundoff. Uses the production remat='save_hits'
+    policy (the bench fwd+bwd config)."""
+    from tpu_ray.kernels import bounce_step
+    import tpu_ray.models.path_tracer as pt
+
+    scene = make_trimesh_scene(subdivisions=1)
+    cam = default_camera(scene)
+    kw = dict(width=32, height=16, spp=1, max_bounces=3,
+              remat="save_hits")
+    ref = _grads(scene, cam, backend="jnp", **kw)
+
+    monkeypatch.setattr(bounce_step, "resident_tables_fit",
+                        lambda n, m: False)
+    orig = pt.trace_rays
+    monkeypatch.setattr(
+        pt, "trace_rays",
+        lambda *a, **k: orig(*a, **{**k, "sort_rays": False}))
+    got = _grads(scene, cam, backend="fused", regen=True, **kw)
+    _assert_grad_trees_close(got, ref, rtol=1e-5)
+
+
+def test_stream_grads_with_sorted_bounces(monkeypatch):
+    """Same parity with the sorted-bounce wavefront ACTIVE (the streaming
+    route's default): every differentiable carried value rides the
+    per-bounce argsort permutation, so reverse-mode transposes the
+    gathers — this pins that the permutation chain is
+    gradient-transparent (value-preserving permutation => same gradients
+    up to the usual cross-program contraction class)."""
+    from tpu_ray.kernels import bounce_step
+
+    scene = make_trimesh_scene(subdivisions=1)
+    cam = default_camera(scene)
+    kw = dict(width=32, height=16, spp=1, max_bounces=3,
+              remat="save_hits")
+    ref = _grads(scene, cam, backend="jnp", **kw)
+
+    monkeypatch.setattr(bounce_step, "resident_tables_fit",
+                        lambda n, m: False)
+    got = _grads(scene, cam, backend="fused", regen=True, **kw)
+    _assert_grad_trees_close(got, ref, rtol=1e-4, atol_scale=1e-5)
 
 
 def test_bigmesh_scene_past_cliff():

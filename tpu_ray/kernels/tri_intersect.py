@@ -273,13 +273,20 @@ def _kernel_stream(cnt_ref, lst_ref, ot_ref, dt_ref, tab_hbm, t_out,
 @functools.partial(jax.jit, static_argnames=("block_r", "block_m"))
 def nearest_hit_tri_stream(tris: Triangles, origin, direction,
                            block_r: int = BLOCK_R,
-                           block_m: int = 128) -> Hit:
+                           block_m: int = 128, alive=None) -> Hit:
     """Nearest triangle hit for soups too big for any VMEM residency:
     per-ray-block reachable-tile lists + double-buffered HBM DMA
     (_kernel_stream). Drop-in for nearest_hit_tri_jnp — and the only
     practical route past ~13k tris: the jnp path materializes [R, M]
     (17 GB at one 43k-ray chunk x 100k tris) and the fused/resident
-    paths need the whole table in VMEM."""
+    paths need the whole table in VMEM.
+
+    alive [R] bool (optional): lanes whose search result is consumed.
+    Dead lanes are excluded from the reachability lists, so blocks the
+    sorted-bounce wavefront has packed all-dead stream ZERO tiles —
+    without this the lists keep serving a dead lane's last direction
+    forever. Dead lanes' returned (t, idx) are then meaningless
+    (they miss); callers already mask every consumer by aliveness."""
     from tpu_ray.kernels.bounce_step import (list_group, tri_block_lists,
                                              tri_tile_boxes)
     origin = jax.lax.stop_gradient(origin)
@@ -297,8 +304,10 @@ def nearest_hit_tri_stream(tris: Triangles, origin, direction,
 
     ot = jnp.pad(origin, ((0, r_pad - r), (0, 0))).T
     dt = jnp.pad(direction, ((0, r_pad - r), (0, 0))).T
+    live_row = (jnp.ones((r,), jnp.float32) if alive is None
+                else jax.lax.stop_gradient(alive).astype(jnp.float32))
     st = jnp.zeros((16, r_pad), jnp.float32)
-    st = st.at[0:3].set(ot).at[3:6].set(dt).at[12, :r].set(1.0)
+    st = st.at[0:3].set(ot).at[3:6].set(dt).at[12, :r].set(live_row)
     grp = list_group(n_blocks, n_tiles)
     cnt, lst = tri_block_lists(boxes, st, block_r, grp)
     n_groups = cnt.shape[0]

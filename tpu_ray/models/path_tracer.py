@@ -57,14 +57,15 @@ def _name_hit(hit, n_prim: int):
 
 def _with_triangles(scene: Scene, origins, directions,
                     sphere_payload: Payload, tri_tables=None,
-                    tri_backend: str = "jnp") -> Payload:
+                    tri_backend: str = "jnp", alive=None) -> Payload:
     """Combine the sphere payload with the triangle soup's nearest hit.
 
     No-op for sphere-only scenes (scene.tris is None — a static property, so
     the branch is resolved at trace time). Triangle ids are offset by the
     sphere count into one global primitive id space. tri_backend selects the
     Möller-Trumbore search implementation (jnp, or the MXU-bilinear Pallas
-    kernel, kernels/tri_intersect.py).
+    kernel, kernels/tri_intersect.py). `alive` (optional) feeds the
+    streaming route's reachability lists — dead lanes stream no tiles.
     """
     if scene.tris is None:
         return sphere_payload
@@ -76,7 +77,8 @@ def _with_triangles(scene: Scene, origins, directions,
         # materializes [R, M] and the resident kernels need the whole
         # table in VMEM (kernels/tri_intersect.nearest_hit_tri_stream)
         from tpu_ray.kernels.tri_intersect import nearest_hit_tri_stream
-        raw = nearest_hit_tri_stream(scene.tris, origins, directions)
+        raw = nearest_hit_tri_stream(scene.tris, origins, directions,
+                                     alive=alive)
     elif tri_backend == "pallas":
         from tpu_ray.kernels.tri_intersect import nearest_hit_tri_pallas
         raw = nearest_hit_tri_pallas(scene.tris, origins, directions)
@@ -90,18 +92,18 @@ def _with_triangles(scene: Scene, origins, directions,
 
 
 def probe_jnp(scene: Scene, origins, directions, tables=None,
-              tri_tables=None) -> Payload:
+              tri_tables=None, alive=None) -> Payload:
     """jnp-backend probe: brute-force search + payload recompute."""
     hit, mask = _name_hit(nearest_hit_jnp(scene.center, scene.radius,
                                            origins, directions), scene.n_pad)
     p = hit_payload(scene, origins, directions, hit, tables=tables,
                     hit_mask=mask)
     return _with_triangles(scene, origins, directions, p,
-                           tri_tables=tri_tables)
+                           tri_tables=tri_tables, alive=alive)
 
 
 def probe_pallas(scene: Scene, origins, directions, tables=None,
-                 tri_tables=None) -> Payload:
+                 tri_tables=None, alive=None) -> Payload:
     """Pallas-backend probe: VMEM-tiled search kernels + payload recompute."""
     from tpu_ray.kernels.sphere_intersect import nearest_hit_pallas
     hit, mask = _name_hit(nearest_hit_pallas(scene.center, scene.radius,
@@ -110,7 +112,8 @@ def probe_pallas(scene: Scene, origins, directions, tables=None,
     p = hit_payload(scene, origins, directions, hit, tables=tables,
                     hit_mask=mask)
     return _with_triangles(scene, origins, directions, p,
-                           tri_tables=tri_tables, tri_backend="pallas")
+                           tri_tables=tri_tables, tri_backend="pallas",
+                           alive=alive)
 
 
 def probe_fn_for_backend(backend: str) -> ProbeFn:
@@ -165,7 +168,8 @@ def untile_image(color_sum, width: int, height: int, inv):
 
 def trace_rays(scene: Scene, origins, directions, stream_base,
                max_bounces: int, probe_fn: ProbeFn, bounce_policy=None,
-               unroll: bool = True, sort_rays: bool | None = None):
+               unroll: bool = True, sort_rays: bool | None = None,
+               collect_states: bool = False):
     """Trace a flat ray wavefront to completion.
 
     -> (color [R,3] linear radiance, rays_cast [R] u32).
@@ -186,7 +190,14 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
     (including the RNG stream base) and the output is unsorted at the
     end, so results are BIT-IDENTICAL to the unsorted trace — the sort
     only regroups lanes into blocks. Dead rays sort last, so exhausted
-    blocks also become all-dead and their lists empty out.
+    blocks become all-dead and — because the alive mask feeds the
+    reachability lists — stream zero tiles.
+
+    collect_states=True additionally returns the per-bounce post-sort
+    (origin, direction, alive) stacks [B,R,...] — the roofline
+    measurement's input (bench.py measures the streaming route's
+    DMA-byte floor from the reachability lists of exactly these states);
+    never set on a timed path.
     """
     if sort_rays is None:
         from tpu_ray.kernels.bounce_step import resident_tables_fit
@@ -217,7 +228,9 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
                 alive[order], rays_cast[order], base[order], slot[order])
         rays_cast = rays_cast + alive.astype(jnp.uint32)
 
-        p = probe_fn(scene, origin, direction)
+        # aliveness feeds the streaming route's reachability lists (dead
+        # lanes stream no tiles); resident searches ignore it
+        p = probe_fn(scene, origin, direction, alive=alive)
 
         # miss: optional sky emission, then the ray dies (main.cpp:433-440)
         if scene.use_sky:
@@ -238,10 +251,11 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
             direction, p.normal_raw, p.inside, p.specular, p.ior,
             rand3, rand_reflect,
         )
-        direction = jnp.where(lh, new_dir, direction)
-        origin = jnp.where(lh, p.next_origin, origin)
-        return (origin, direction, atten, color, live_hit, rays_cast,
-                base, slot), None
+        new_direction = jnp.where(lh, new_dir, direction)
+        new_origin = jnp.where(lh, p.next_origin, origin)
+        ys = (origin, direction, alive) if collect_states else None
+        return (new_origin, new_direction, atten, color, live_hit,
+                rays_cast, base, slot), ys
 
     n = origins.shape[0]
     init = (
@@ -262,12 +276,14 @@ def trace_rays(scene: Scene, origins, directions, stream_base,
     # inter-bounce HBM round-trips (measured ~1.18x fwd+bwd on unchunked
     # wavefronts; REGRESSES inside lax.map ray-chunking, so chunked traces
     # pass unroll=False)
-    (_, _, _, color, _, rays_cast, _, slot), _ = jax.lax.scan(
+    (_, _, _, color, _, rays_cast, _, slot), states = jax.lax.scan(
         bounce, init, jnp.arange(max_bounces, dtype=jnp.uint32),
         unroll=bool(unroll))
     if sort_rays:
         inv = jnp.argsort(slot)
         color, rays_cast = color[inv], rays_cast[inv]
+    if collect_states:
+        return color, rays_cast, states
     return color, rays_cast
 
 
@@ -339,8 +355,8 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
             from tpu_ray.ops.intersect_tri import tri_payload_tables
             tri_tables = tri_payload_tables(scene.tris)
         base_probe = probe_fn
-        probe_fn = lambda sc, o, d: base_probe(sc, o, d, tables=tables,
-                                               tri_tables=tri_tables)
+        probe_fn = lambda sc, o, d, **k: base_probe(
+            sc, o, d, tables=tables, tri_tables=tri_tables, **k)
     bounce_policy = None
     if remat == "save_hits_bounce":
         bounce_policy = jax.checkpoint_policies.save_only_these_names(

@@ -29,7 +29,7 @@ from tpu_ray.parallel.mesh import RAY_AXIS, SPHERE_AXIS, scene_pspec
 
 
 def probe_sphere_sharded(scene_local: Scene, origins, directions,
-                         axis: str = SPHERE_AXIS) -> Payload:
+                         axis: str = SPHERE_AXIS, alive=None) -> Payload:
     """Nearest-hit probe when the primitive arrays (spheres AND the
     triangle soup, if any) are sharded over `axis`.
 
