@@ -139,6 +139,34 @@ def main():
         row(f"config4 trimesh {scene.tris.n_real}tris fwd+bwd "
             f"1920x1080 2spp", int(rays), dt, backend=backend)
 
+    # --- bigmesh: past the residency cliff (163,842 tris) ----------------
+    # the HBM-streaming probe+stream route with the sorted-bounce
+    # wavefront + alive-aware lists (the only route at this scale; the
+    # reference cannot load meshes at all) — fwd AND the full gradient
+    # step (r5: gradients proven past the cliff)
+    scene = make_scene("bigmesh")
+    cam = default_camera(scene)
+    kw = dict(width=1920, height=1080, spp=1, seed=0, backend="fused",
+              ray_chunk=43200)
+    step = sum_step(scene, cam, **kw)
+    _, rays = step(scene, cam)
+    dt = timeit(step, scene, cam, iters=2)
+    row(f"bigmesh {scene.tris.n_real}tris 1920x1080 1spp", int(rays), dt,
+        backend="probe+stream")
+
+    target = jnp.zeros((1080, 1920, 3), jnp.float32)
+
+    @jax.jit
+    def gbstep(scene, cam):
+        def loss(s, c):
+            return image_mse(render_mean(s, c, remat="save_hits", **kw),
+                             target)
+        return jax.grad(loss, argnums=(0, 1))(scene, cam)
+
+    dt = timeit(gbstep, scene, cam, iters=1)
+    row(f"bigmesh {scene.tris.n_real}tris fwd+bwd 1920x1080 1spp",
+        int(rays), dt, backend="probe+stream")
+
 
 if __name__ == "__main__":
     main()
