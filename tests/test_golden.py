@@ -44,7 +44,8 @@ BACKENDS = [
      dict(backend="fused", exact_argmin=True, regen=True)),
     # the r4 fused estimator mega-kernel (kernels/simple_shade.py) on its
     # BASELINE config scenes
-    ("flat-fused-exact", ["single"],
+    # r5: the estimator kernels handle resident triangle soups too
+    ("flat-fused-exact", ["single", "trimesh"],
      dict(backend="fused", exact_argmin=True, shading="flat")),
     ("lambert-fused-exact", ["sixteen"],
      dict(backend="fused", exact_argmin=True, shading="lambert_shadow")),

@@ -43,19 +43,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_ray.core.scene import F32_EPS, F32_MAX, Scene
 from tpu_ray.kernels.bounce_step import (
-    BLOCK_R, _exact_tile, _fused_tables, _gather_winner, _interpret,
-    _pack_bits, _pack_tile, _sph_bk, _tile_roots, _u32, _unpack, _use_pack,
-    morton_perm, permute_spheres)
+    BLOCK_R, _TRI_TILE, _exact_tile, _fused_tables, _gather_winner,
+    _interpret, _pack_bits, _pack_tile, _sph_bk, _tile_roots, _tile_tri_t,
+    _tri_bk, _u32, _unpack, _use_pack, morton_perm, permute_spheres,
+    resident_tables_fit)
 from tpu_ray.kernels.regen import _cam13, _lane_rays
 
 
-def _fold(o3, d3, stab_ref, *, n_tiles: int, block_n: int, pack: bool,
-          low_mask: int, miss_s: int):
+def _fold(o3, d3, stab_ref, tri_ref=None, *, n_tiles: int, block_n: int,
+          pack: bool, low_mask: int, miss_s: int, n_pad: int = 0,
+          m_tiles: int = 0):
     """Nearest-hit search fold over the resident tile-major sphere table
-    for rays (o3, d3) [3,BR] each. -> (idx [1,BR] i32, -1 on miss;
-    hit [1,BR] bool). Identical folds to the regen/bounce kernels."""
+    (+ optional resident triangle table, r5) for rays (o3, d3) [3,BR]
+    each. -> (idx [1,BR] i32 GLOBAL primitive id, -1 on miss; hit [1,BR]
+    bool). Identical folds and tie rules to the regen/bounce kernels:
+    spheres first, then ascending triangle tiles with strict <, global
+    tri ids offset by n_pad."""
     st6 = jnp.concatenate([o3, d3], axis=0)
     bk = _sph_bk(st6)
+    tbk = _tri_bk(st6) if m_tiles else None
     br = o3.shape[1]
     if pack:
         carry = jnp.full((1, br), miss_s, jnp.int32)
@@ -65,6 +71,13 @@ def _fold(o3, d3, stab_ref, *, n_tiles: int, block_n: int, pack: bool,
             carry = jnp.minimum(
                 carry, jnp.min(_pack_tile(tb, js * block_n, low_mask),
                                axis=0, keepdims=True))
+        for jt in range(m_tiles):
+            rows = tri_ref[pl.ds(jt * 4 * _TRI_TILE, 4 * _TRI_TILE), :]
+            tb = _tile_tri_t(st6, rows, _TRI_TILE, tbk)
+            carry = jnp.minimum(
+                carry, jnp.min(_pack_tile(tb, n_pad + jt * _TRI_TILE,
+                                          low_mask),
+                               axis=0, keepdims=True))
         return _unpack(carry, low_mask, miss_s)
     tmin = jnp.full((1, br), F32_MAX, jnp.float32)
     idxc = jnp.zeros((1, br), jnp.int32)
@@ -72,6 +85,13 @@ def _fold(o3, d3, stab_ref, *, n_tiles: int, block_n: int, pack: bool,
         rows = stab_ref[pl.ds(js * 2 * block_n, 2 * block_n), :]
         tb = _tile_roots(st6, rows, block_n, bk)
         tm, ic = _exact_tile(tb, js * block_n, shift_valid=True)
+        better = tm < tmin
+        idxc = jnp.where(better, ic, idxc)
+        tmin = jnp.where(better, tm, tmin)
+    for jt in range(m_tiles):
+        rows = tri_ref[pl.ds(jt * 4 * _TRI_TILE, 4 * _TRI_TILE), :]
+        tb = _tile_tri_t(st6, rows, _TRI_TILE, tbk)
+        tm, ic = _exact_tile(tb, n_pad + jt * _TRI_TILE, shift_valid=False)
         better = tm < tmin
         idxc = jnp.where(better, ic, idxc)
         tmin = jnp.where(better, tm, tmin)
@@ -95,35 +115,44 @@ def _nrm3(v3):
     return jnp.where(ok, v3 * inv, 0.0)
 
 
-def _simple_kernel(cam_ref, *refs, n_pad: int, block_n: int, spp: int,
-                   n_lights: int, use_sky: bool, pack: bool, width: int,
-                   height: int, film_w: float, film_h: float):
+def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
+                   spp: int, n_lights: int, use_sky: bool, pack: bool,
+                   width: int, height: int, film_w: float, film_h: float):
     """spp samples of the flat (n_lights < 0) or lambert_shadow estimator
     for one ray block. Output rows: 0:3 color sum over spp, 3 rays cast
-    (exact small f32)."""
+    (exact small f32). m_pad > 0 (r5): a VMEM-resident triangle table
+    joins every fold (primary AND shadow — triangles occlude) and the
+    lambert payload recomputes the winner via the plane form (_shade's
+    triangle branch recipe)."""
     flat = n_lights < 0
     k = 0
     if not flat:
         lidx_ref = refs[k]; k += 1
         ldat_ref = refs[k]; k += 1
+    tri_ref = None
+    if m_pad:
+        tri_ref = refs[k]; k += 1
     in_ref, stab_ref, table_ref, out_ref = refs[k:k + 4]
     n_tiles = n_pad // block_n
-    low_mask, miss_s = _pack_bits(n_pad)
+    m_tiles = m_pad // _TRI_TILE
+    low_mask, miss_s = _pack_bits(n_pad + m_pad)
     br = in_ref.shape[1]
     ax = in_ref[0:1, :]
     ay = in_ref[1:2, :]
     h1 = _u32(in_ref[2:3, :])
     s0 = cam_ref[0, 12].astype(jnp.int32)
 
+    fold = functools.partial(_fold, n_tiles=n_tiles, block_n=block_n,
+                             pack=pack, low_mask=low_mask, miss_s=miss_s,
+                             n_pad=n_pad, m_tiles=m_tiles)
+
     def sample(s, carry):
         acc, rays = carry
         s_next = jnp.full((1, br), s0 + s, jnp.int32)
         o3, d3, _ = _lane_rays(cam_ref, ax, ay, h1, s_next,
                                width, height, film_w, film_h)
-        idx, hit = _fold(o3, d3, stab_ref, n_tiles=n_tiles,
-                         block_n=block_n, pack=pack, low_mask=low_mask,
-                         miss_s=miss_s)
-        winner, _ = _gather_winner(table_ref, idx, n_pad)
+        idx, hit = fold(o3, d3, stab_ref, tri_ref)
+        winner, _ = _gather_winner(table_ref, idx, n_pad + m_pad)
         alb = winner[4:7, :]
         emis = winner[7:10, :]
         hit3 = jnp.broadcast_to(hit, (3, br))
@@ -145,8 +174,21 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, block_n: int, spp: int,
         t_near = t_proj - x
         inside = t_near < F32_EPS
         t = jnp.where(inside, t_proj + x, t_near)
+        n3 = _nrm3(o3 + d3 * t - c3)           # outward sphere normal
+        if m_pad:
+            # triangle winner: plane form (n, k) sits in the (center,
+            # radius) slots — t = (k - n.o)/(n.d), normal = n, backface
+            # (n.d > 0) flips (ops/intersect_tri.tri_payload rule,
+            # identical to kernels/bounce_step._shade's triangle branch)
+            is_tri = idx >= n_pad
+            is_tri3 = jnp.broadcast_to(is_tri, (3, br))
+            nd = jnp.sum(d3 * c3, axis=0, keepdims=True)
+            no = jnp.sum(o3 * c3, axis=0, keepdims=True)
+            t_t = (r1 - no) / jnp.where(nd == 0.0, 1.0, nd)
+            t = jnp.where(is_tri, t_t, t)
+            inside = jnp.where(is_tri, nd > 0.0, inside)
+            n3 = jnp.where(is_tri3, _nrm3(c3), n3)
         no3 = o3 + d3 * t                      # next_origin
-        n3 = _nrm3(no3 - c3)                   # normal_raw = point - m
         n3 = jnp.where(jnp.broadcast_to(inside, (3, br)), -n3, n3)
 
         color = emis
@@ -157,9 +199,7 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, block_n: int, spp: int,
             lem = jnp.stack([ldat_ref[j, 3], ldat_ref[j, 4],
                              ldat_ref[j, 5]]).reshape(3, 1)
             ld3 = _nrm3(lc - no3)
-            sidx, shit = _fold(no3, ld3, stab_ref, n_tiles=n_tiles,
-                               block_n=block_n, pack=pack,
-                               low_mask=low_mask, miss_s=miss_s)
+            sidx, shit = fold(no3, ld3, stab_ref, tri_ref)
             visible = shit & (sidx == li) & hit
             lam = jnp.maximum(jnp.sum(n3 * ld3, axis=0, keepdims=True),
                               0.0)
@@ -206,11 +246,12 @@ def make_simple_trace(width: int, height: int, seed: int, spp: int,
         perm = morton_perm(scene)
         scene_p = permute_spheres(scene, perm)
         tb = _fused_tables(scene_p)
-        n_pad = tb["n_pad"]
-        assert tb["m_pad"] == 0, \
-            "fused flat/lambert covers sphere scenes (no triangle soup)"
+        n_pad, m_pad = tb["n_pad"], tb["m_pad"]
+        assert m_pad == 0 or resident_tables_fit(n_pad, m_pad), \
+            "fused estimators need VMEM-resident tables (the router warns" \
+            " and falls back to the probe path past the cliff)"
         block_n = min(n_pad, 1024)     # stab_full's tile height
-        pack = _use_pack(n_pad, exact_argmin)
+        pack = _use_pack(n_pad + m_pad, exact_argmin)
 
         r = pixel.shape[0]
         r_pad = -(-r // block_r) * block_r
@@ -248,13 +289,20 @@ def make_simple_trace(width: int, height: int, seed: int, spp: int,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((lp, 6), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)]
+        if m_pad:
+            # VMEM-resident MT coefficient table, DMA'd once (constant
+            # index map) — the resident-sweep shape of the path kernels
+            extra_in.append(tb["tri_full"])
+            extra_specs.append(
+                pl.BlockSpec((4 * m_pad, 96), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM))
 
         out = pl.pallas_call(
             functools.partial(
-                _simple_kernel, n_pad=n_pad, block_n=block_n, spp=spp,
-                n_lights=n_lights, use_sky=scene_p.use_sky, pack=pack,
-                width=width, height=height, film_w=float(film_w),
-                film_h=float(film_h)),
+                _simple_kernel, n_pad=n_pad, m_pad=m_pad, block_n=block_n,
+                spp=spp, n_lights=n_lights, use_sky=scene_p.use_sky,
+                pack=pack, width=width, height=height,
+                film_w=float(film_w), film_h=float(film_h)),
             grid=(r_pad // block_r,),
             in_specs=[
                 pl.BlockSpec((1, 13), lambda i: (0, 0),
@@ -264,7 +312,7 @@ def make_simple_trace(width: int, height: int, seed: int, spp: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((48, n_pad), lambda i: (0, 0),
+                pl.BlockSpec((48, n_pad + m_pad), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((8, block_r), lambda i: (0, i),

@@ -344,6 +344,15 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
             # their i16 hit records overflow beyond 32k primitives —
             # auto-route to the probe path, whose triangle search is the
             # list-driven HBM-streaming kernel (_with_triangles)
+            if shading != "path":
+                # the estimator kernels also need resident tables; the
+                # ~2.8x-slower probe fallback must not be silent
+                import warnings
+                warnings.warn(
+                    f"fused {shading} estimator needs VMEM-resident "
+                    f"tables; {scene.tris.n_pad} padded tris exceed the "
+                    "~13k residency cliff — falling back to the probe "
+                    "path + streaming search (slower)", stacklevel=2)
             backend_is_fused = False
             regen = False
             probe_fn = probe_jnp
@@ -390,14 +399,14 @@ def render_pixels(scene: Scene, camera: Camera, pixel, *, width: int,
 
         color, rays = jax.lax.map(one, pixel.reshape(k, ray_chunk))
         return color.reshape(n, 3), jnp.sum(rays)
-    if (shading in ("flat", "lambert_shadow") and backend_is_fused
-            and scene.tris is None):
+    if (shading in ("flat", "lambert_shadow") and backend_is_fused):
         # Fused estimator mega-kernel (kernels/simple_shade.py): in-kernel
         # raygen + search + winner gather + estimator shading (+ shadow
         # searches) for all spp samples in one launch per ray block —
         # removes the probe path's XLA payload/mask glue (measured 0.19 of
         # the op-mix floor, BASELINE config 2). Carries a custom VJP whose
         # backward re-runs the probe estimator (exact-gradient route).
+        # r5: triangle soups join the folds when VMEM-resident.
         from tpu_ray.kernels.simple_shade import make_simple_trace
         run = make_simple_trace(width, height, seed, spp, shading,
                                 lights=lights, exact_argmin=exact_argmin)
