@@ -508,7 +508,15 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     br = chk_ref.shape[1]
 
     def fbody(t, st):
-        states[pl.ds(t * 24, 24), :] = st
+        # reduced stash (r5): the reverse sweep reads only rows 0:16 —
+        # the running total (16:18) and rays counter (22) are dead in the
+        # backward, and the per-lane constants x/y/h1 (19:21) come from
+        # the checkpoint. 16 rows written+read per step instead of 24.
+        # (A 12-row stash — also dropping color, which is a pass-through
+        # add, and the rng base, derivable as pcg_hash(h1 + s*MIX) — is
+        # blocked by Mosaic: dynamic sublane stores must be provably
+        # 8-aligned, and t*12 is not.)
+        states[pl.ds(t * 16, 16), :] = st[0:16, :]
         idx = recs_ref[pl.ds(t, 1), :]
         if use_list:
             winner = _gather_winner_list(table_ref, idx, cnt, tile_at)
@@ -540,36 +548,38 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     st_f = jax.lax.fori_loop(0, thi // uf, fbody_blk, chk_ref[:])
     jax.lax.fori_loop(thi // uf * uf, thi, fbody, st_f)
 
-    def bbody(t2, carry):
-        d_st, dtab, dcam = carry
+    def bbody_core(t2, d_st, dcam):
         t = thi - 1 - t2
-        st = states[pl.ds(t * 24, 24), :]
+        st16 = states[pl.ds(t * 16, 16), :]
         idx = recs_ref[pl.ds(t, 1), :]
         winner = winners[pl.ds(t * 16, 16), :]
-        alive = st[12:13, :] > 0.5
+        alive = st16[12:13, :] > 0.5
         live = alive & (idx >= 0)
         sky_mask = alive & jnp.logical_not(idx >= 0)
         is_tri = (idx >= n_pad) if m_pad else None
-        rand = _rand_draws_ch(st)
+        rand = _rand_draws_ch(st16)
+        # per-lane constants from the checkpoint (rows 19:21 never change)
+        h1 = _u32(chk_ref[21:22, :])
         # control closures, recomputed exactly as _step_tail's
-        b_next = st[15:16, :] + 1.0
+        b_next = st16[15:16, :] + 1.0
         cont = live & (b_next < jnp.float32(max_bounces))
         finished = alive & jnp.logical_not(cont)
-        s_next = st[14:15, :] + jnp.where(finished, 1.0, 0.0)
+        s_next = st16[14:15, :] + jnp.where(finished, 1.0, 0.0)
         has_more = finished & (s_next < cam_ref[0, 12])
         fin3 = jnp.broadcast_to(has_more, (3, br))
         fdone3 = jnp.broadcast_to(finished, (3, br))
         # jitter/film constants of the regenerated rays (no camera
         # dependence; same draws as _regen_rays)
-        h1 = _u32(st[21:22, :])
         base = _pcg_hash(h1 + pltpu.bitcast(
             s_next.astype(jnp.int32), jnp.uint32)
             * jnp.uint32(_MIX_SAMPLE))
         zero_u = jnp.uint32(0)
         jx = _draw(base, zero_u, 4, -0.5, 0.5)
         jy = _draw(base, zero_u, 5, -0.5, 0.5)
-        film_x = -1.0 + ((st[19:20, :] + jx) * 2.0) / jnp.float32(width)
-        film_y = -1.0 + ((st[20:21, :] + jy) * 2.0) / jnp.float32(height)
+        film_x = -1.0 + ((chk_ref[19:20, :] + jx) * 2.0) \
+            / jnp.float32(width)
+        film_y = -1.0 + ((chk_ref[20:21, :] + jy) * 2.0) \
+            / jnp.float32(height)
         fx = film_x * jnp.float32(film_w) * 0.5
         fy = film_y * jnp.float32(film_h) * 0.5
 
@@ -587,7 +597,7 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
             jnp.where(fdone3, g_tot, g_out[9:12, :]),
             jnp.zeros((4, br), jnp.float32),
         ], axis=0)
-        d_st16, d_wn = _shade_vjp(st[0:16], winner, live, sky_mask,
+        d_st16, d_wn = _shade_vjp(st16, winner, live, sky_mask,
                                   rand, use_sky, g16, is_tri)
 
         # camera cotangent of the regenerated rays: transpose of
@@ -610,13 +620,18 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
             d_rvec, fx * d_rvec, fy * d_rvec,
             jnp.zeros((4, br), jnp.float32),
         ], axis=0)
+        zeros5 = jnp.zeros((5, br), jnp.float32)
+        return (jnp.concatenate([d_st16, g_tot, zeros5], axis=0),
+                dcam, d_wn, idx)
+
+    def bbody(t2, carry):
+        d_st, dtab, dcam = carry
+        d_st, dcam, d_wn, idx = bbody_core(t2, d_st, dcam)
         if use_list:
             _scatter_dtable_list(dtab_s, d_wn, idx, cnt, tile_at)
         else:
             dtab = dtab + _dtable_delta(d_wn, idx, p_pad)
-        zeros5 = jnp.zeros((5, br), jnp.float32)
-        return (jnp.concatenate([d_st16, g_tot, zeros5], axis=0),
-                dtab, dcam)
+        return d_st, dtab, dcam
 
     init = (dout_ref[:],
             jnp.zeros((1, 1), jnp.float32) if use_list
@@ -628,6 +643,12 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
     rem = thi % uf
     carry0 = jax.lax.fori_loop(0, rem, bbody, init)
 
+    # (Measured dead end, r5: batching the d_table accumulation across
+    # the uf unrolled steps — ONE [16, uf*BR]-lane gather-transpose
+    # matmul per block instead of uf — ran 96.6 vs 97.7M AND its
+    # [P, uf*BR] bf16 one-hot (8.4 MB at P=512) blew the seg=96 scoped-
+    # VMEM budget: the concat moves cost more than the saved matmul-pass
+    # overhead. Per-step deltas stay.)
     def bbody_blk(k, c):
         for u in range(uf):
             c = bbody(rem + uf * k + u, c)
@@ -881,7 +902,7 @@ def regen_seg_bwd(cam13, cam16, table48, chk, recs, d_out, thi,
                                  jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * 16, block_r), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((seg * 24, block_r), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((seg * 16, block_r), jnp.float32),
                         pltpu.VMEM((seg * 16, block_r), jnp.float32),
                         *extra_scratch],
         # the segment cotangent updates in place (d_out input 5 ->
