@@ -89,3 +89,15 @@ def test_simple_estimators(tmp_path, shading):
     n = 64 * 40
     assert rays == n if shading == "flat" else rays > n
     assert os.path.getsize(out) > 100
+
+
+def test_big_meshes(tmp_path):
+    out = str(tmp_path / "b.png")
+    # subdivisions=2 keeps the CPU smoke fast; the docstring's past-cliff
+    # scale is exercised on TPU (the route is identical — the cliff check
+    # only flips which search kernel the probe calls)
+    img, gs = _load("08_big_meshes").main(
+        TINY + ["--subdivisions", "2", "--grad", "--out", out])
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(np.abs(np.asarray(gs.tris.v0)).sum()) > 0
+    assert os.path.getsize(out) > 100

@@ -320,6 +320,61 @@ def _regen_kernel(cam_ref, state_ref, stab_ref, *refs, n_pad: int,
             idx_ref[:] = rec
 
 
+def _regen_multi_kernel(cam_ref, state_ref, stab_ref, table_ref, out_ref,
+                        *maybe_idx, p_pad: int, block_n: int,
+                        use_sky: bool, pack: bool, max_bounces: int,
+                        width: int, height: int, film_w: float,
+                        film_h: float, with_idx: bool, steps: int):
+    """`steps` fused wavefront steps per launch for SINGLE-TILE scenes
+    (n_tiles == 1, no triangle soup): the state stays in VMEM across the
+    fused steps instead of round-tripping [24,R] through HBM per step,
+    and the launch count drops `steps`-fold. Measured motivation (r5
+    profile): the recording forward's 5634 launches cost ~114 ms of
+    state DMA + ~tens of ms fixed overhead of the 2.87 s headline step.
+    Bit-identical to `steps` invocations of _regen_kernel: sub-steps on
+    an all-dead block are identities (_step_tail passes dead lanes
+    through), the per-sub-step record keeps the -2 whole-block-dead
+    sentinel (aliveness checked at each sub-step's entry, exactly the
+    1-step kernel's rule), and a block dead at LAUNCH entry skips all
+    compute just like the 1-step dead-block branch."""
+    idx_ref = maybe_idx[0] if with_idx else None
+    low_mask, miss_s = _pack_bits(p_pad)
+    entry_alive = jnp.max(state_ref[12:13, :]) > 0.5
+
+    @pl.when(jnp.logical_not(entry_alive))
+    def _():
+        out_ref[:] = state_ref[:]
+        if with_idx:
+            idx_ref[:] = jnp.full_like(idx_ref, -2)
+
+    @pl.when(entry_alive)
+    def _():
+        st = state_ref[:]
+        for s in range(steps):
+            tb = _tile_roots(st[0:16], stab_ref, block_n)
+            if pack:
+                carry = jnp.minimum(
+                    jnp.int32(miss_s),
+                    jnp.min(_pack_tile(tb, 0, low_mask), axis=0,
+                            keepdims=True))
+                idx, hit = _unpack(carry, low_mask, miss_s)
+            else:
+                tmin, idx = _exact_tile(tb, 0, shift_valid=True)
+                hit = tmin < F32_MAX
+            alive_now = jnp.max(st[12:13, :]) > 0.5
+            out, rec = _step_tail(cam_ref, st, idx, hit, table_ref,
+                                  n_pad=p_pad, m_pad=0, p_pad=p_pad,
+                                  use_sky=use_sky,
+                                  max_bounces=max_bounces, width=width,
+                                  height=height, film_w=film_w,
+                                  film_h=film_h)
+            st = out
+            if with_idx:
+                idx_ref[pl.ds(s, 1), :] = jnp.where(alive_now, rec,
+                                                    jnp.int32(-2))
+        out_ref[:] = st
+
+
 def _regen_list_kernel(cam_ref, cnt_ref, lst_ref, state_ref, stab_ref,
                        tri_ref, table_ref, *refs, n_pad: int, m_pad: int,
                        p_pad: int, block_n: int, block_m: int,
@@ -662,12 +717,12 @@ def _regen_seg_kernel(cam_ref, camr_ref, chk_ref, recs_ref, table_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "use_sky", "block_r", "max_bounces", "exact_argmin",
-    "width", "height", "with_idx", "group"))
+    "width", "height", "with_idx", "group", "steps"))
 def regen_step(cam13, table48, stab, state, tri_tab=None, tri_lists=None,
                *, use_sky: bool,
                max_bounces: int, width: int, height: int,
                block_r: int = BLOCK_R, exact_argmin: bool = False,
-               with_idx: bool = False, group: int = 1):
+               with_idx: bool = False, group: int = 1, steps: int = 1):
     """One persistent-wavefront step over every ray block: search + shade
     + in-lane regeneration. cam13 [1,13] f32 (position, film_center,
     cam_x, cam_y, s_end = sample_start + spp as exact f32),
@@ -690,6 +745,50 @@ def regen_step(cam13, table48, stab, state, tri_tab=None, tri_lists=None,
     n_tiles_s = n_pad // block_n
     n_tiles = n_tiles_s + (m_pad // block_m if m_pad else 0)
     pack = _use_pack(p_pad, exact_argmin)
+
+    if steps > 1:
+        # fused multi-step launch (see _regen_multi_kernel): single-tile
+        # sphere scenes only — a multi-tile search cannot complete inside
+        # one grid step, and the tri list path rebuilds its lists in XLA
+        # between steps
+        assert n_tiles == 1 and m_pad == 0 and tri_lists is None, (
+            "steps > 1 needs a single-tile sphere search", n_tiles, m_pad)
+        out_specs = [pl.BlockSpec((24, block_r), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((24, r_tot), jnp.float32)]
+        if with_idx:
+            out_specs.append(pl.BlockSpec((steps, block_r),
+                                          lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((steps, r_tot), jnp.int32))
+        out = pl.pallas_call(
+            functools.partial(
+                _regen_multi_kernel, p_pad=p_pad, block_n=block_n,
+                use_sky=use_sky, pack=pack, max_bounces=max_bounces,
+                width=width, height=height, film_w=float(film_w),
+                film_h=float(film_h), with_idx=with_idx, steps=steps),
+            grid=(r_tot // block_r,),
+            in_specs=[
+                pl.BlockSpec((1, 13), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((24, block_r), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * n_pad, 54), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((48, p_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs if with_idx else out_specs[0],
+            out_shape=out_shape if with_idx else out_shape[0],
+            input_output_aliases={1: 0},     # state updates in place
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=_interpret(),
+        )(cam13, state, stab, table48)
+        if with_idx:
+            return out[0], out[1]            # records [steps, R]
+        return out
 
     if tri_lists is not None:
         assert m_pad and block_m == 128, (m_pad, block_m)
@@ -1004,6 +1103,23 @@ def _step_lists(tb, st, block_r: int, group: int):
 # spheres keep the straight-line one-tile resident sweep.)
 
 
+def _fuse_steps(tb) -> int:
+    """Wavefront steps fused per regen_step launch (single-tile sphere
+    scenes only — see _regen_multi_kernel). Env TPU_RAY_REGEN_FUSE
+    overrides the measured default: 8 is the knee of the r5 headline
+    sweep (fuse 1/2/4/8/16/32 -> 97.7/98.5/100.1/100.6/92.0/94.3M
+    rays/s) — past it the intra-launch waste takes over, because the
+    dead-block skip coarsens from per-step to per-launch: a block whose
+    lanes exhaust at sub-step k pays fuse-k-1 identity sub-steps (the r4
+    lesson that guarded-off bodies are not free rules out per-sub-step
+    conds). Interpret mode keeps 2 so the CPU suite exercises the fused
+    structure without the trace blowup."""
+    if tb["m_pad"] or tb["n_pad"] > 1024:
+        return 1
+    return max(1, int(os.environ.get("TPU_RAY_REGEN_FUSE",
+                                     "2" if _interpret() else "8")))
+
+
 def make_trace_regen(width: int, height: int):
     """Persistent-wavefront spp-sample trace bound to a film size
     (width/height are film-math statics, mirroring ops/raygen.camera_rays).
@@ -1024,6 +1140,7 @@ def make_trace_regen(width: int, height: int):
                                   width, height, block_r)
         k_max = spp * max_bounces
         use_list, grp = _list_mode(tb, st.shape[1], block_r)
+        fuse = _fuse_steps(tb)
 
         def cond(carry):
             st, t = carry
@@ -1039,8 +1156,8 @@ def make_trace_regen(width: int, height: int):
                             max_bounces=max_bounces,
                             width=width, height=height,
                             block_r=block_r, exact_argmin=exact_argmin,
-                            group=grp)
-            return st, t + 1
+                            group=grp, steps=fuse)
+            return st, t + fuse
 
         st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
         color = st[16:19, :r].T
@@ -1119,6 +1236,11 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                                   width, height, block_r)
         r_pad = st.shape[1]
         use_list, grp = _list_mode(tb, r_pad, block_r)
+        # fused multi-step recording: checkpoint boundaries must land on
+        # fuse strides (seg % fuse == 0), else fall back to 1-step
+        fuse = _fuse_steps(tb)
+        if seg % fuse:
+            fuse = 1
         ib = jnp.full((k_pad, r_pad), -2, jnp.int16)
         cb = jnp.zeros((n_seg, 24, r_pad), jnp.float32)
 
@@ -1138,10 +1260,12 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
                 _step_lists(tb, st, block_r, grp) if use_list else None,
                 use_sky=scene_p.use_sky, max_bounces=max_bounces,
                 width=width, height=height, block_r=block_r,
-                exact_argmin=exact_argmin, with_idx=True, group=grp)
+                exact_argmin=exact_argmin, with_idx=True, group=grp,
+                steps=fuse)
+            rec = rec.astype(jnp.int16)
             ib = jax.lax.dynamic_update_slice(
-                ib, rec.astype(jnp.int16)[None, :], (t, 0))
-            return st2, t + 1, ib, cb
+                ib, rec if rec.ndim == 2 else rec[None, :], (t, 0))
+            return st2, t + fuse, ib, cb
 
         st, t_final, ib, cb = jax.lax.while_loop(
             cond, body, (st, jnp.int32(0), ib, cb))
