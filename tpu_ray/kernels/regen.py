@@ -331,12 +331,16 @@ def _regen_multi_kernel(cam_ref, state_ref, stab_ref, table_ref, out_ref,
     and the launch count drops `steps`-fold. Measured motivation (r5
     profile): the recording forward's 5634 launches cost ~114 ms of
     state DMA + ~tens of ms fixed overhead of the 2.87 s headline step.
-    Bit-identical to `steps` invocations of _regen_kernel: sub-steps on
-    an all-dead block are identities (_step_tail passes dead lanes
-    through), the per-sub-step record keeps the -2 whole-block-dead
-    sentinel (aliveness checked at each sub-step's entry, exactly the
-    1-step kernel's rule), and a block dead at LAUNCH entry skips all
-    compute just like the 1-step dead-block branch."""
+    Same op sequence per sub-step as _regen_kernel (shared _step_tail);
+    sub-steps on an all-dead block are identities, the per-sub-step
+    record keeps the -2 whole-block-dead sentinel (aliveness checked at
+    each sub-step's entry, exactly the 1-step kernel's rule), and a
+    block dead at LAUNCH entry skips all compute like the 1-step
+    dead-block branch. The rays counter is EXACT vs 1-step launches;
+    radiance/gradients sit in the usual cross-program contraction class
+    (the compiler fuses across sub-steps, ~1-ulp drift + rare near-tie
+    winner flips — measured 0/2048 pixels >1e-3;
+    tests/test_regen_grad.py::test_fuse_steps_bit_identical)."""
     idx_ref = maybe_idx[0] if with_idx else None
     low_mask, miss_s = _pack_bits(p_pad)
     entry_alive = jnp.max(state_ref[12:13, :]) > 0.5
