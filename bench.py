@@ -230,13 +230,23 @@ def measure_stream_floor(scene, camera, args, ray_chunk, chip: str,
 def measure_tri_reach(scene, camera, args, stride: int = 4) -> float:
     """Per-scene reachable-tile fraction of the list sweep, measured on a
     strided subsample of whole ray blocks (block coherence preserved — the
-    lists are per-block-group, so sampling must keep blocks intact)."""
+    lists are per-block-group, so sampling must keep blocks intact).
+
+    regen runs (the fused default) measure their OWN wavefront's folds
+    (kernels.regen.measured_tri_reach_regen: mixed bounced + regenerated
+    lanes over all spp) instead of approximating with the per-sample
+    sweep — the r4 approximation inherited a primary-heavy estimate."""
     from tpu_ray.kernels.bounce_step import BLOCK_R, measured_tri_reach
     from tpu_ray.models.path_tracer import tile_order
     from tpu_ray.ops.raygen import camera_rays
     perm, _ = tile_order(args.width, args.height)
     n = perm.size - perm.size % BLOCK_R
     pixel = jnp.asarray(perm[:n]).reshape(-1, BLOCK_R)[::stride].reshape(-1)
+    if getattr(args, "regen", False):
+        from tpu_ray.kernels.regen import measured_tri_reach_regen
+        return measured_tri_reach_regen(
+            scene, camera, pixel, args.spp, 0, args.max_bounces,
+            args.width, args.height)
     o, d, base = camera_rays(camera, args.width, args.height, pixel,
                              jnp.uint32(0), 0)
     return measured_tri_reach(scene, o, d, base, args.max_bounces)

@@ -114,3 +114,21 @@ def test_sphere_scene_unaffected():
     c2, _ = jax.jit(lambda s: trace_rays_fused(
         s, o, d, base, 3, tri_list=False))(scene)
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_measured_tri_reach_regen_sane():
+    """The regen-wavefront reach measurement (r5, bench.py's SoL input
+    for regen trimesh runs): a fraction in (0, 1], measured on the
+    actual persistent-wavefront loop."""
+    from tpu_ray import default_camera, make_scene
+    from tpu_ray.kernels.regen import measured_tri_reach_regen
+    from tpu_ray.models.path_tracer import tile_order
+
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    import jax.numpy as jnp
+    perm, _ = tile_order(64, 32)
+    reach = measured_tri_reach_regen(scene, cam, jnp.asarray(perm),
+                                     spp=1, seed=0, max_bounces=3,
+                                     width=64, height=32)
+    assert 0.0 < reach <= 1.0, reach

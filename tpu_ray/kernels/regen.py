@@ -1124,6 +1124,62 @@ def _fuse_steps(tb) -> int:
                                      "2" if _interpret() else "8")))
 
 
+def measured_tri_reach_regen(scene: Scene, camera, pixel, spp: int,
+                             seed: int, max_bounces: int, width: int,
+                             height: int, sample_start=0,
+                             block_r: int = BLOCK_R) -> float:
+    """Measured reachable-tile fraction of the REGEN wavefront's resident
+    list sweep: (tile folds performed) / (live block-group steps * tiles).
+
+    The r4 bench approximated regen runs with the per-sample sweep's
+    reach (bounce_step.measured_tri_reach), inheriting a primary-heavy
+    estimate (VERDICT r4 weak item 5); this runs the actual
+    persistent-wavefront loop — mixed bounced + regenerated lanes, the
+    same _step_lists the production kernel folds — so the SoL floor's
+    tri term prices exactly the folds a regen run pays."""
+    from tpu_ray.kernels.bounce_step import _TRI_TILE
+    scene = permute_scene(scene)
+    tb = _fused_tables(scene)
+    assert tb["m_pad"] > 0, "sphere-only scene has no tri reach"
+    st0, cam13, r = _wave_init(camera, pixel, spp, seed, sample_start,
+                               width, height, block_r)
+    use_list, grp = _list_mode(tb, st0.shape[1], block_r)
+    assert use_list, "regen tri reach needs the resident list mode"
+    n_tiles = tb["m_pad"] // _TRI_TILE
+    k_max = spp * max_bounces
+
+    @jax.jit
+    def sweep(st):
+        def cond(c):
+            st, t, _, _ = c
+            return (t < k_max) & (jnp.max(st[12, :]) > 0.5)
+
+        def body(c):
+            st, t, folds, gsteps = c
+            lists = _step_lists(tb, st, block_r, grp)
+            folds = folds + jnp.sum(lists[0].astype(jnp.float32))
+            alive_b = jnp.any((st[12] > 0.5).reshape(-1, block_r), axis=1)
+            pad = (-alive_b.shape[0]) % grp
+            if pad:
+                alive_b = jnp.concatenate(
+                    [alive_b, jnp.zeros((pad,), bool)])
+            alive_g = alive_b.reshape(-1, grp).any(axis=1)
+            gsteps = gsteps + jnp.sum(alive_g.astype(jnp.float32))
+            st = regen_step(cam13, tb["t48"], tb["stab_full"], st,
+                            tb["tri_full"], lists, use_sky=scene.use_sky,
+                            max_bounces=max_bounces, width=width,
+                            height=height, block_r=block_r, group=grp)
+            return st, t + 1, folds, gsteps
+
+        _, _, folds, gsteps = jax.lax.while_loop(
+            cond, body, (st, jnp.int32(0), jnp.zeros((), jnp.float32),
+                         jnp.zeros((), jnp.float32)))
+        return folds, gsteps
+
+    folds, gsteps = sweep(st0)
+    return float(folds) / (max(float(gsteps), 1.0) * n_tiles)
+
+
 def make_trace_regen(width: int, height: int):
     """Persistent-wavefront spp-sample trace bound to a film size
     (width/height are film-math statics, mirroring ops/raygen.camera_rays).
