@@ -216,7 +216,13 @@ def measure_stream_floor(scene, camera, args, ray_chunk, chip: str,
                    CHAIN_OPS_PER_PAIR * scene.n_pad / vpu)
     per_ray = sphere_s + shade_s
     if args.mode == "fwd+bwd":
-        per_ray += 3.0 * shade_s
+        # the streaming route's backward is the PROBE path (save_hits
+        # DCEs the search; XLA differentiates the O(R) payload
+        # recompute): at minimum one more payload-gather + transposed
+        # shade pass. The fused path's 3x-shade calibration OVERPRICES
+        # it (measured 1.07x "over SoL" with 3x — a floor must
+        # underestimate), so the floor charges 1x.
+        per_ray += shade_s
     floor_s = max(dma_s, mt_s) + rays_step * per_ray
     return rays_step / floor_s, {
         "stream_tiles_per_step": round(tiles_step),
