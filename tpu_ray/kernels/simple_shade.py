@@ -52,17 +52,25 @@ from tpu_ray.kernels.regen import _cam13, _lane_rays
 
 def _fold(o3, d3, stab_ref, tri_ref=None, *, n_tiles: int, block_n: int,
           pack: bool, low_mask: int, miss_s: int, n_pad: int = 0,
-          m_tiles: int = 0):
+          m_tiles: int = 0, tri_list=None):
     """Nearest-hit search fold over the resident tile-major sphere table
     (+ optional resident triangle table, r5) for rays (o3, d3) [3,BR]
     each. -> (idx [1,BR] i32 GLOBAL primitive id, -1 on miss; hit [1,BR]
     bool). Identical folds and tie rules to the regen/bounce kernels:
     spheres first, then ascending triangle tiles with strict <, global
-    tri ids offset by n_pad."""
+    tri ids offset by n_pad. tri_list (cnt scalar, lst_ref row) — the
+    PRIMARY fold's per-block frustum-reachable tile list (r5): folds
+    only cnt listed tiles via a dynamic-trip loop (ascending id, so the
+    tie rule is unchanged and skipped tiles provably cannot win —
+    cull_mask conservativeness)."""
     st6 = jnp.concatenate([o3, d3], axis=0)
     bk = _sph_bk(st6)
     tbk = _tri_bk(st6) if m_tiles else None
     br = o3.shape[1]
+
+    def tri_rows(tile):
+        return tri_ref[pl.ds(tile * 4 * _TRI_TILE, 4 * _TRI_TILE), :]
+
     if pack:
         carry = jnp.full((1, br), miss_s, jnp.int32)
         for js in range(n_tiles):
@@ -71,13 +79,31 @@ def _fold(o3, d3, stab_ref, tri_ref=None, *, n_tiles: int, block_n: int,
             carry = jnp.minimum(
                 carry, jnp.min(_pack_tile(tb, js * block_n, low_mask),
                                axis=0, keepdims=True))
-        for jt in range(m_tiles):
-            rows = tri_ref[pl.ds(jt * 4 * _TRI_TILE, 4 * _TRI_TILE), :]
-            tb = _tile_tri_t(st6, rows, _TRI_TILE, tbk)
-            carry = jnp.minimum(
-                carry, jnp.min(_pack_tile(tb, n_pad + jt * _TRI_TILE,
-                                          low_mask),
-                               axis=0, keepdims=True))
+        if tri_list is not None:
+            cnt, tile_at = tri_list
+
+            def w_body(k, carry):
+                tile = tile_at(k)
+                tb = _tile_tri_t(st6, tri_rows(tile), _TRI_TILE, tbk)
+                return jnp.minimum(
+                    carry, jnp.min(_pack_tile(tb, n_pad + tile * _TRI_TILE,
+                                              low_mask),
+                                   axis=0, keepdims=True))
+
+            # 2x unroll: same dynamic-trip fixed-cost finding as the
+            # path kernels' list folds
+            def w_pair(j, carry):
+                return w_body(2 * j + 1, w_body(2 * j, carry))
+
+            carry = jax.lax.fori_loop(0, cnt // 2, w_pair, carry)
+            carry = jax.lax.fori_loop(cnt // 2 * 2, cnt, w_body, carry)
+        else:
+            for jt in range(m_tiles):
+                tb = _tile_tri_t(st6, tri_rows(jt), _TRI_TILE, tbk)
+                carry = jnp.minimum(
+                    carry, jnp.min(_pack_tile(tb, n_pad + jt * _TRI_TILE,
+                                              low_mask),
+                                   axis=0, keepdims=True))
         return _unpack(carry, low_mask, miss_s)
     tmin = jnp.full((1, br), F32_MAX, jnp.float32)
     idxc = jnp.zeros((1, br), jnp.int32)
@@ -88,13 +114,33 @@ def _fold(o3, d3, stab_ref, tri_ref=None, *, n_tiles: int, block_n: int,
         better = tm < tmin
         idxc = jnp.where(better, ic, idxc)
         tmin = jnp.where(better, tm, tmin)
-    for jt in range(m_tiles):
-        rows = tri_ref[pl.ds(jt * 4 * _TRI_TILE, 4 * _TRI_TILE), :]
-        tb = _tile_tri_t(st6, rows, _TRI_TILE, tbk)
-        tm, ic = _exact_tile(tb, n_pad + jt * _TRI_TILE, shift_valid=False)
-        better = tm < tmin
-        idxc = jnp.where(better, ic, idxc)
-        tmin = jnp.where(better, tm, tmin)
+    if m_tiles and tri_list is not None:
+        cnt, tile_at = tri_list
+
+        def e_body(k, c):
+            tmin, idxc = c
+            tile = tile_at(k)
+            tb = _tile_tri_t(st6, tri_rows(tile), _TRI_TILE, tbk)
+            tm, ic = _exact_tile(tb, n_pad + tile * _TRI_TILE,
+                                 shift_valid=False)
+            better = tm < tmin
+            return (jnp.where(better, tm, tmin),
+                    jnp.where(better, ic, idxc))
+
+        def e_pair(j, c):
+            return e_body(2 * j + 1, e_body(2 * j, c))
+
+        tmin, idxc = jax.lax.fori_loop(0, cnt // 2, e_pair, (tmin, idxc))
+        tmin, idxc = jax.lax.fori_loop(cnt // 2 * 2, cnt, e_body,
+                                       (tmin, idxc))
+    else:
+        for jt in range(m_tiles):
+            tb = _tile_tri_t(st6, tri_rows(jt), _TRI_TILE, tbk)
+            tm, ic = _exact_tile(tb, n_pad + jt * _TRI_TILE,
+                                 shift_valid=False)
+            better = tm < tmin
+            idxc = jnp.where(better, ic, idxc)
+            tmin = jnp.where(better, tm, tmin)
     hit = tmin < F32_MAX
     return jnp.where(hit, idxc, jnp.int32(-1)), hit
 
@@ -117,7 +163,8 @@ def _nrm3(v3):
 
 def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
                    spp: int, n_lights: int, use_sky: bool, pack: bool,
-                   width: int, height: int, film_w: float, film_h: float):
+                   width: int, height: int, film_w: float, film_h: float,
+                   group: int = 1):
     """spp samples of the flat (n_lights < 0) or lambert_shadow estimator
     for one ray block. Output rows: 0:3 color sum over spp, 3 rays cast
     (exact small f32). m_pad > 0 (r5): a VMEM-resident triangle table
@@ -129,9 +176,11 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
     if not flat:
         lidx_ref = refs[k]; k += 1
         ldat_ref = refs[k]; k += 1
-    tri_ref = None
+    tri_ref = cnt_ref = lst_ref = None
     if m_pad:
         tri_ref = refs[k]; k += 1
+        cnt_ref = refs[k]; k += 1    # [1,1] SMEM: this block's list len
+        lst_ref = refs[k]; k += 1    # [1,T] SMEM: reachable tile ids
     in_ref, stab_ref, table_ref, out_ref = refs[k:k + 4]
     n_tiles = n_pad // block_n
     m_tiles = m_pad // _TRI_TILE
@@ -145,13 +194,21 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
     fold = functools.partial(_fold, n_tiles=n_tiles, block_n=block_n,
                              pack=pack, low_mask=low_mask, miss_s=miss_s,
                              n_pad=n_pad, m_tiles=m_tiles)
+    # the primary fold's frustum list covers every spp sample (jitter
+    # inflation baked in host-side); shadow folds sweep all tiles.
+    # lists are per GROUP of `group` consecutive ray blocks (SMEM budget)
+    if m_pad:
+        g = pl.program_id(0) // group
+        prim_list = (cnt_ref[0, g], lambda k: lst_ref[k, g])
+    else:
+        prim_list = None
 
     def sample(s, carry):
         acc, rays = carry
         s_next = jnp.full((1, br), s0 + s, jnp.int32)
         o3, d3, _ = _lane_rays(cam_ref, ax, ay, h1, s_next,
                                width, height, film_w, film_h)
-        idx, hit = fold(o3, d3, stab_ref, tri_ref)
+        idx, hit = fold(o3, d3, stab_ref, tri_ref, tri_list=prim_list)
         winner, _ = _gather_winner(table_ref, idx, n_pad + m_pad)
         alb = winner[4:7, :]
         emis = winner[7:10, :]
@@ -186,7 +243,11 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
             no = jnp.sum(o3 * c3, axis=0, keepdims=True)
             t_t = (r1 - no) / jnp.where(nd == 0.0, 1.0, nd)
             t = jnp.where(is_tri, t_t, t)
-            inside = jnp.where(is_tri, nd > 0.0, inside)
+            # logical form, not where-on-bool: Mosaic rejects i1 selects
+            # ("unsupported target bitwidth for truncation"); same form
+            # as bounce_step._shade's triangle branch
+            inside = ((is_tri & (nd > 0.0))
+                      | (jnp.logical_not(is_tri) & inside))
             n3 = jnp.where(is_tri3, _nrm3(c3), n3)
         no3 = o3 + d3 * t                      # next_origin
         n3 = jnp.where(jnp.broadcast_to(inside, (3, br)), -n3, n3)
@@ -296,13 +357,88 @@ def make_simple_trace(width: int, height: int, seed: int, spp: int,
             extra_specs.append(
                 pl.BlockSpec((4 * m_pad, 96), lambda i: (0, 0),
                              memory_space=pltpu.VMEM))
+            # per-block frustum-reachable tile lists for the PRIMARY
+            # fold (r5): the block's rays over ALL spp samples lie in
+            # the pixel-rect frustum from the camera position — jitter
+            # inflates the film interval by +-0.5 px — and the slab
+            # feasibility test is scale-invariant in d, so the
+            # UNNORMALIZED direction interval feeds cull_mask directly.
+            # Conservative: skipped tiles cannot hold any sample's
+            # nearest hit (cull_mask docstring; inflated boxes absorb
+            # the MT accept band like tri_block_lists).
+            from tpu_ray.kernels.bounce_step import (cull_mask,
+                                                     tri_tile_boxes)
+            n_blocks = r_pad // block_r
+            cam_x, cam_y, _, film_center = camera.basis()
+            pos = camera.position
+            big = jnp.float32(3.0e38)
+            axp = jnp.full((r_pad,), big).at[:r].set(ax)
+            ayp = jnp.full((r_pad,), big).at[:r].set(ay)
+            axn = jnp.full((r_pad,), -big).at[:r].set(ax)
+            ayn = jnp.full((r_pad,), -big).at[:r].set(ay)
+            xlo = axp.reshape(n_blocks, block_r).min(axis=1) - 0.5
+            xhi = axn.reshape(n_blocks, block_r).max(axis=1) + 0.5
+            ylo = ayp.reshape(n_blocks, block_r).min(axis=1) - 0.5
+            yhi = ayn.reshape(n_blocks, block_r).max(axis=1) + 0.5
+
+            def film(v, n, ext):    # raygen film map, monotone in v
+                return (-1.0 + v * 2.0 / n) * (ext * 0.5)
+
+            eps = jnp.float32(1e-5)
+            fxl = film(xlo, width, float(film_w)) - eps
+            fxh = film(xhi, width, float(film_w)) + eps
+            fyl = film(ylo, height, float(film_h)) - eps
+            fyh = film(yhi, height, float(film_h)) + eps
+
+            def axis_terms(flo, fhi, basis):
+                a = flo[:, None] * basis[None, :]
+                b = fhi[:, None] * basis[None, :]
+                return jnp.minimum(a, b), jnp.maximum(a, b)
+
+            xl, xh = axis_terms(fxl, fxh, cam_x)
+            yl, yh = axis_terms(fyl, fyh, cam_y)
+            base = (film_center - pos)[None, :]
+            dlo = base + xl + yl                        # [B,3]
+            dhi = base + xh + yh
+            # all-padding blocks produce inverted (+big) bounds -> the
+            # le_interval constraints go infeasible -> empty lists
+            olo = jnp.broadcast_to(pos[None, :], dlo.shape)
+            boxes = jax.lax.stop_gradient(
+                tri_tile_boxes(scene_p.tris, _TRI_TILE))
+            mask = cull_mask(olo, olo, jax.lax.stop_gradient(dlo),
+                             jax.lax.stop_gradient(dhi),
+                             boxes[:, 0:3], boxes[:, 3:6])   # [B,T]
+            m_tiles = m_pad // _TRI_TILE
+            # group G consecutive blocks per list row (OR of reach) so
+            # the SMEM table stays under budget, and keep it BLOCK-MINOR
+            # — [B,1]-major SMEM windows pad the minor dim to 128 lanes
+            # (both r4 lessons, kernels/bounce_step.list_group)
+            from tpu_ray.kernels.bounce_step import list_group
+            grp = list_group(n_blocks, m_tiles)
+            pad_b = (-n_blocks) % grp
+            if pad_b:
+                mask = jnp.concatenate(
+                    [mask, jnp.zeros((pad_b, m_tiles), mask.dtype)],
+                    axis=0)
+            gmask = mask.reshape(-1, grp, m_tiles).max(axis=1)
+            cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)[None, :]
+            lst = jnp.argsort(1 - gmask, axis=1,
+                              stable=True).astype(jnp.int32).T
+            n_groups = gmask.shape[0]
+            extra_in += [cnt, lst]
+            extra_specs += [
+                pl.BlockSpec((1, n_groups), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((m_tiles, n_groups), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)]
 
         out = pl.pallas_call(
             functools.partial(
                 _simple_kernel, n_pad=n_pad, m_pad=m_pad, block_n=block_n,
                 spp=spp, n_lights=n_lights, use_sky=scene_p.use_sky,
                 pack=pack, width=width, height=height,
-                film_w=float(film_w), film_h=float(film_h)),
+                film_w=float(film_w), film_h=float(film_h),
+                group=grp if m_pad else 1),
             grid=(r_pad // block_r,),
             in_specs=[
                 pl.BlockSpec((1, 13), lambda i: (0, 0),
