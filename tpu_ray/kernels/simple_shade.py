@@ -176,11 +176,14 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
     if not flat:
         lidx_ref = refs[k]; k += 1
         ldat_ref = refs[k]; k += 1
-    tri_ref = cnt_ref = lst_ref = None
+    tri_ref = cnt_ref = lst_ref = scnt_ref = slst_ref = None
     if m_pad:
         tri_ref = refs[k]; k += 1
-        cnt_ref = refs[k]; k += 1    # [1,1] SMEM: this block's list len
-        lst_ref = refs[k]; k += 1    # [1,T] SMEM: reachable tile ids
+        cnt_ref = refs[k]; k += 1    # [1,G] SMEM: primary list lengths
+        lst_ref = refs[k]; k += 1    # [T,G] SMEM: primary tile lists
+        if not flat:
+            scnt_ref = refs[k]; k += 1   # shadow-fold lists (see wrapper)
+            slst_ref = refs[k]; k += 1
     in_ref, stab_ref, table_ref, out_ref = refs[k:k + 4]
     n_tiles = n_pad // block_n
     m_tiles = m_pad // _TRI_TILE
@@ -197,9 +200,12 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
     # the primary fold's frustum list covers every spp sample (jitter
     # inflation baked in host-side); shadow folds sweep all tiles.
     # lists are per GROUP of `group` consecutive ray blocks (SMEM budget)
+    shadow_list = None
     if m_pad:
         g = pl.program_id(0) // group
         prim_list = (cnt_ref[0, g], lambda k: lst_ref[k, g])
+        if not flat:
+            shadow_list = (scnt_ref[0, g], lambda k: slst_ref[k, g])
     else:
         prim_list = None
 
@@ -260,7 +266,8 @@ def _simple_kernel(cam_ref, *refs, n_pad: int, m_pad: int, block_n: int,
             lem = jnp.stack([ldat_ref[j, 3], ldat_ref[j, 4],
                              ldat_ref[j, 5]]).reshape(3, 1)
             ld3 = _nrm3(lc - no3)
-            sidx, shit = fold(no3, ld3, stab_ref, tri_ref)
+            sidx, shit = fold(no3, ld3, stab_ref, tri_ref,
+                              tri_list=shadow_list)
             visible = shit & (sidx == li) & hit
             lam = jnp.maximum(jnp.sum(n3 * ld3, axis=0, keepdims=True),
                               0.0)
@@ -431,6 +438,60 @@ def make_simple_trace(width: int, height: int, seed: int, spp: int,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((m_tiles, n_groups), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)]
+            if n_lights > 0:
+                # SHADOW-fold lists (r5): every shadow origin is a hit
+                # point, which lies inside some primary-reached inflated
+                # tile box (tri winner) or reached sphere tile box, and
+                # every shadow ray points from there toward a light
+                # center — so cull_mask over (per-group origin box,
+                # light-box minus origin-box direction interval) is
+                # conservative for ALL lights' probes. One list per
+                # group serves every light (direction interval unions
+                # the light centers).
+                from tpu_ray.kernels.bounce_step import tile_bounds
+                slo, shi = tile_bounds(scene_p, min(n_pad, 1024))
+                inf = jnp.float32(3.0e38)
+
+                def reached_box(m, lo, hi):
+                    # [G,T] mask x [T,3] boxes -> per-group AABB union
+                    mm = m[:, :, None].astype(jnp.float32)
+                    glo = jnp.min(jnp.where(mm > 0, lo[None], inf),
+                                  axis=1)
+                    ghi = jnp.max(jnp.where(mm > 0, hi[None], -inf),
+                                  axis=1)
+                    return glo, ghi
+                # sphere tiles reachable from the same primary frustum
+                pdlo = jnp.concatenate(
+                    [dlo, jnp.zeros((pad_b, 3), dlo.dtype)], axis=0) \
+                    if pad_b else dlo
+                pdhi = jnp.concatenate(
+                    [dhi, jnp.zeros((pad_b, 3), dhi.dtype)], axis=0) \
+                    if pad_b else dhi
+                gdlo = pdlo.reshape(-1, grp, 3).min(axis=1)
+                gdhi = pdhi.reshape(-1, grp, 3).max(axis=1)
+                golo = jnp.broadcast_to(pos[None, :], gdlo.shape)
+                smask_s = cull_mask(golo, golo, gdlo, gdhi, slo, shi)
+                t_lo, t_hi = reached_box(gmask, boxes[:, 0:3],
+                                         boxes[:, 3:6])
+                s_lo, s_hi = reached_box(smask_s, slo, shi)
+                olo_g = jnp.minimum(t_lo, s_lo)
+                ohi_g = jnp.maximum(t_hi, s_hi)
+                lc, _ = scene_light_data(scene, lights)
+                lmin = jax.lax.stop_gradient(jnp.min(lc, axis=0))
+                lmax = jax.lax.stop_gradient(jnp.max(lc, axis=0))
+                sdlo = lmin[None, :] - ohi_g
+                sdhi = lmax[None, :] - olo_g
+                smask = cull_mask(olo_g, ohi_g, sdlo, sdhi,
+                                  boxes[:, 0:3], boxes[:, 3:6])  # [G,T]
+                scnt = jnp.sum(smask, axis=1).astype(jnp.int32)[None, :]
+                slst = jnp.argsort(1 - smask, axis=1,
+                                   stable=True).astype(jnp.int32).T
+                extra_in += [scnt, slst]
+                extra_specs += [
+                    pl.BlockSpec((1, n_groups), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((m_tiles, n_groups), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)]
 
         out = pl.pallas_call(
             functools.partial(
