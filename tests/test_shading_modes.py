@@ -293,3 +293,61 @@ def test_estimator_past_cliff_warns_and_falls_back(monkeypatch):
     np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
                                rtol=1e-5, atol=1e-6)
     jax.clear_caches()   # do not leak the patched executable
+
+
+def test_estimator_frustum_lists_fire():
+    """Non-vacuity guard for the r5 estimator tile lists: on a framed
+    mesh most blocks must reach only a small fraction of tri tiles (if
+    this regresses to ~all tiles the 7.5x is silently gone)."""
+    import jax.numpy as jnp2
+    from tpu_ray.kernels.bounce_step import (cull_mask, list_group,
+                                             tri_tile_boxes, _TRI_TILE)
+    from tpu_ray import make_scene
+
+    scene = make_scene("trimesh")
+    cam = default_camera(scene)
+    # reproduce the wrapper's frustum-list construction at 128x64
+    from tpu_ray.core.camera import film_extent
+    w, h = 128, 64
+    film_w, film_h = film_extent(w, h)
+    pixel = np.arange(w * h, dtype=np.int32)
+    block_r = 1024
+    r = pixel.size
+    r_pad = -(-r // block_r) * block_r
+    ax = (pixel % w).astype(np.float32)
+    ay = (pixel // w).astype(np.float32)
+    n_blocks = r_pad // block_r
+    big = 3.0e38
+    axp = np.full(r_pad, big); axp[:r] = ax
+    ayp = np.full(r_pad, big); ayp[:r] = ay
+    axn = np.full(r_pad, -big); axn[:r] = ax
+    ayn = np.full(r_pad, -big); ayn[:r] = ay
+    xlo = axp.reshape(n_blocks, block_r).min(1) - 0.5
+    xhi = axn.reshape(n_blocks, block_r).max(1) + 0.5
+    ylo = ayp.reshape(n_blocks, block_r).min(1) - 0.5
+    yhi = ayn.reshape(n_blocks, block_r).max(1) + 0.5
+
+    def film(v, n, ext):
+        return (-1.0 + v * 2.0 / n) * (ext * 0.5)
+
+    fxl, fxh = film(xlo, w, film_w), film(xhi, w, film_w)
+    fyl, fyh = film(ylo, h, film_h), film(yhi, h, film_h)
+    cam_x, cam_y, _, film_center = cam.basis()
+    cam_x, cam_y = np.asarray(cam_x), np.asarray(cam_y)
+    pos = np.asarray(cam.position)
+    base = (np.asarray(film_center) - pos)[None, :]
+    xl = np.minimum(fxl[:, None] * cam_x, fxh[:, None] * cam_x)
+    xh = np.maximum(fxl[:, None] * cam_x, fxh[:, None] * cam_x)
+    yl = np.minimum(fyl[:, None] * cam_y, fyh[:, None] * cam_y)
+    yh = np.maximum(fyl[:, None] * cam_y, fyh[:, None] * cam_y)
+    dlo = jnp2.asarray(base + xl + yl)
+    dhi = jnp2.asarray(base + xh + yh)
+    olo = jnp2.broadcast_to(jnp2.asarray(pos)[None, :], dlo.shape)
+    from tpu_ray.kernels.bounce_step import permute_spheres, morton_perm
+    scene_p = permute_spheres(scene, morton_perm(scene))
+    boxes = tri_tile_boxes(scene_p.tris, _TRI_TILE)
+    mask = cull_mask(olo, olo, dlo, dhi, boxes[:, 0:3], boxes[:, 3:6])
+    m_tiles = scene_p.tris.n_pad // _TRI_TILE
+    frac = float(np.asarray(mask).sum()) / (n_blocks * m_tiles)
+    assert frac < 0.7, frac     # lists must cull a real fraction
+    assert np.asarray(mask).sum() > 0   # and reach the mesh at all
