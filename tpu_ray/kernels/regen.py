@@ -1297,10 +1297,11 @@ def make_regen_trace(width: int, height: int, seed: int, max_bounces: int,
         r_pad = st.shape[1]
         use_list, grp = _list_mode(tb, r_pad, block_r)
         # fused multi-step recording: checkpoint boundaries must land on
-        # fuse strides (seg % fuse == 0), else fall back to 1-step
+        # fuse strides, so drop to the largest divisor of seg (a short
+        # trace with seg=min(64, k_max)=20 keeps fuse=4 instead of 1)
         fuse = _fuse_steps(tb)
-        if seg % fuse:
-            fuse = 1
+        while seg % fuse:
+            fuse //= 2
         ib = jnp.full((k_pad, r_pad), -2, jnp.int16)
         cb = jnp.zeros((n_seg, 24, r_pad), jnp.float32)
 
