@@ -49,6 +49,11 @@ BACKENDS = [
      dict(backend="fused", exact_argmin=True, shading="flat")),
     ("lambert-fused-exact", ["sixteen"],
      dict(backend="fused", exact_argmin=True, shading="lambert_shadow")),
+    # r5: lambert+shadow on a MIXED sphere+triangle scene — the
+    # estimator kernel's triangle folds, frustum primary lists, AND
+    # origin-box shadow lists all drift-guarded in one frozen render
+    ("lambert-fused-exact", ["trilight"],
+     dict(backend="fused", exact_argmin=True, shading="lambert_shadow")),
     # the r4/r5 HBM-streaming big-mesh route WITH the sorted-bounce
     # wavefront (its default): frozen on a cliff-forced tiny soup so the
     # sorted+streamed output is drift-guarded by the suite, not only by
@@ -63,7 +68,12 @@ def _render(name, **kw):
     from tpu_ray.kernels import bounce_step
     kw = dict(kw)
     force_stream = kw.pop("_force_stream", False)
-    scene = make_scene(f"obj:{_OBJ_FIXTURE}" if name == "objico" else name)
+    if name == "trilight":
+        from tests.test_shading_modes import _tri_light_scene
+        scene = _tri_light_scene()
+    else:
+        scene = make_scene(
+            f"obj:{_OBJ_FIXTURE}" if name == "objico" else name)
     if kw.get("shading") == "lambert_shadow":
         from tpu_ray.ops.shading_modes import scene_light_indices
         kw = dict(kw, lights=scene_light_indices(scene))
