@@ -59,3 +59,43 @@ def test_bench_default_routing_dry():
                 "--width", "1024", "--height", "1024", "--spp", "16",
                 "--dry-run"])
     assert row["ray_chunk"] == 65536, row["ray_chunk"]
+
+
+def test_measure_stream_floor_machinery():
+    """The streaming route's DMA-aware SoL (bench.measure_stream_floor):
+    on a cliff-forced tiny soup the floor must come back positive with
+    coherent stats (tiles > 0, GB consistent with the tile count). This
+    is the machinery that prices bigmesh's vs_baseline — a silent break
+    here makes the round's streaming numbers float without a floor."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ray import default_camera
+    from tpu_ray.core.scene import make_trimesh_scene
+    sys.path.insert(0, ROOT)
+    import bench
+    from tpu_ray.kernels import bounce_step
+
+    scene = make_trimesh_scene(subdivisions=1)
+    cam = default_camera(scene)
+    args = argparse.Namespace(width=64, height=32, spp=1, max_bounces=3,
+                              mode="fwd")
+    orig = bounce_step.resident_tables_fit
+    bounce_step.resident_tables_fit = lambda n, m: False
+    try:
+        jax.clear_caches()
+        floor, stats = bench.measure_stream_floor(
+            scene, cam, args, ray_chunk=None, chip="v5e", stride=1)
+    finally:
+        bounce_step.resident_tables_fit = orig
+        jax.clear_caches()
+    assert floor > 0
+    tiles = stats["stream_tiles_per_step"]
+    assert tiles > 0
+    # bytes = tiles * one [4*128,128] bf16 coefficient tile (the record
+    # rounds GB to 3 decimals -> allow half a unit-in-last-place)
+    assert abs(stats["stream_gb_per_step"] * 1e9
+               - tiles * 4 * 128 * 128 * 2) <= 0.5e6 + 1
+    assert stats["stream_rays_cast_modeled"] > 0
